@@ -1,0 +1,220 @@
+"""Partitioned URL-seen set: blocked Bloom + cuckoo filter (SURVEY J1/T2, §4.3).
+
+The reference dedups URLs with an in-memory ordered dict + pandas
+drop_duplicates (realestate_index_scraper.py:474,510) and SQLite natural keys
+(dashboard/utils/init_scraper.py:74-78) — single-process, RAM-bound. At a
+10^10-URL frontier that state must be partitioned, serializable, and cheap to
+probe. Design (north_star):
+
+  - **Blocked (split-block) Bloom filter** — the probe hot path. One 512-bit
+    cache-line block per key, 8 probe bits (one per 64-bit word), fully
+    vectorized in numpy over Arrow batches. Same layout as Parquet's SBBF.
+  - **Cuckoo filter** — 16-bit fingerprints, 4 slots/bucket, 2 candidate
+    buckets; supports deletion (re-crawl revocation), bulk insert is
+    vectorized with a per-item kick-loop fallback for overflow.
+  - Both serialize to bytes; one row per host_bucket in the `seen_state`
+    table, carried epoch -> epoch (explicit state, SURVEY T2).
+
+Membership protocol (exact, not probabilistic): bloom-negative => definitely
+new (no join needed); bloom-positive => resolved by an exact anti-join
+against the partition-pruned `seen_exact` table. The filters only *save
+work*; they never decide "seen" on their own.
+
+Everything is deterministic: hash mixing is splitmix64 on url_id, no seeds
+from wall clock.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 mixing."""
+    z = x + _U64(salt)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+class BlockedBloom:
+    """Split-block Bloom: 8 words/block, one probe bit per word."""
+
+    HEADER = struct.Struct("<QQ")  # n_blocks, n_items
+
+    def __init__(self, n_blocks: int, words: np.ndarray | None = None, n_items: int = 0):
+        self.n_blocks = n_blocks
+        self.words = words if words is not None else np.zeros(n_blocks * 8, dtype=np.uint64)
+        self.n_items = n_items
+
+    @classmethod
+    def for_capacity(cls, capacity: int, bits_per_key: int = 16) -> "BlockedBloom":
+        n_blocks = max(1, (capacity * bits_per_key + 511) // 512)
+        return cls(int(n_blocks))
+
+    def _probes(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(word_idx[n,8], mask[n,8]) for a batch of uint64 ids."""
+        ids = ids.astype(np.uint64, copy=False)
+        h1 = _mix64(ids, 0x9E3779B97F4A7C15)
+        h2 = _mix64(ids, 0xC2B2AE3D27D4EB4F)
+        block = (h1 % _U64(self.n_blocks)).astype(np.int64)
+        w = np.arange(8, dtype=np.uint64)
+        bit = (h2[:, None] >> (w * _U64(6))[None, :]) & _U64(63)
+        word_idx = block[:, None] * 8 + np.arange(8, dtype=np.int64)[None, :]
+        mask = _U64(1) << bit
+        return word_idx, mask
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        if len(ids) == 0:
+            return np.zeros(0, dtype=bool)
+        word_idx, mask = self._probes(np.asarray(ids))
+        return ((self.words[word_idx] & mask) == mask).all(axis=1)
+
+    def insert(self, ids: np.ndarray) -> None:
+        if len(ids) == 0:
+            return
+        word_idx, mask = self._probes(np.asarray(ids))
+        np.bitwise_or.at(self.words, word_idx.ravel(), mask.ravel())
+        self.n_items += len(ids)
+
+    def to_bytes(self) -> bytes:
+        return self.HEADER.pack(self.n_blocks, self.n_items) + self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "BlockedBloom":
+        n_blocks, n_items = cls.HEADER.unpack_from(b)
+        words = np.frombuffer(b, dtype=np.uint64, offset=cls.HEADER.size).copy()
+        return cls(int(n_blocks), words, int(n_items))
+
+
+class CuckooFilter:
+    """16-bit fingerprint, 4 slots/bucket, 2 candidate buckets, deletable."""
+
+    HEADER = struct.Struct("<QQ")  # n_buckets, n_items
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None, n_items: int = 0):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        self.n_buckets = n_buckets
+        self.table = (
+            table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+        self.n_items = n_items
+
+    @classmethod
+    def for_capacity(cls, capacity: int) -> "CuckooFilter":
+        need = max(8, int(capacity / (cls.SLOTS * 0.84)) + 1)
+        return cls(1 << (need - 1).bit_length())
+
+    def _fp_buckets(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.asarray(ids, dtype=np.uint64)
+        fp = (_mix64(ids, 0x165667B19E3779F9) & _U64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 means empty slot
+        mask = _U64(self.n_buckets - 1)
+        b1 = (_mix64(ids, 0x27D4EB2F165667C5) & mask).astype(np.int64)
+        alt = (_mix64(fp.astype(np.uint64), 0x9E3779B97F4A7C15) & mask).astype(np.int64)
+        b2 = b1 ^ alt
+        return fp, b1, b2
+
+    def _alt_bucket(self, fp: np.uint16, b: int) -> int:
+        alt = int(_mix64(np.array([fp], dtype=np.uint64), 0x9E3779B97F4A7C15)[0]) & (
+            self.n_buckets - 1
+        )
+        return b ^ alt
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        if len(ids) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, b1, b2 = self._fp_buckets(ids)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def insert(self, ids: np.ndarray) -> int:
+        """Bulk insert; returns number that failed (table full). Vectorized
+        first-fit over (2 buckets x 4 slots) passes; leftovers take the
+        classic kick loop."""
+        if len(ids) == 0:
+            return 0
+        fp, b1, b2 = self._fp_buckets(ids)
+        pending = np.arange(len(fp))
+        for bucket in (b1, b2):
+            for slot in range(self.SLOTS):
+                if len(pending) == 0:
+                    break
+                bk = bucket[pending]
+                empty = self.table[bk, slot] == 0
+                cand = pending[empty]
+                if len(cand) == 0:
+                    continue
+                # one writer per bucket per pass: keep first occurrence
+                _, first = np.unique(bucket[cand], return_index=True)
+                writers = cand[np.sort(first)]
+                self.table[bucket[writers], slot] = fp[writers]
+                placed = np.zeros(len(fp), dtype=bool)
+                placed[writers] = True
+                pending = pending[~placed[pending]]
+        failed = 0
+        for i in pending:
+            if not self._insert_one(int(fp[i]), int(b1[i])):
+                failed += 1
+        self.n_items += len(ids) - failed
+        return failed
+
+    def _insert_one(self, fp: int, b: int) -> bool:
+        import numpy as _np
+
+        rng_state = fp  # deterministic kick choice
+        for _ in range(self.MAX_KICKS):
+            row = self.table[b]
+            empty = _np.where(row == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % self.SLOTS
+            fp, self.table[b, slot] = int(self.table[b, slot]), fp
+            b = self._alt_bucket(np.uint16(fp), b)
+        return False
+
+    def delete(self, ids: np.ndarray) -> np.ndarray:
+        """Remove one fingerprint copy per id; returns bool removed[]."""
+        fp, b1, b2 = self._fp_buckets(ids)
+        removed = np.zeros(len(fp), dtype=bool)
+        for i in range(len(fp)):
+            for b in (b1[i], b2[i]):
+                slots = np.where(self.table[b] == fp[i])[0]
+                if len(slots):
+                    self.table[b, slots[0]] = 0
+                    removed[i] = True
+                    self.n_items -= 1
+                    break
+        return removed
+
+    def to_bytes(self) -> bytes:
+        return self.HEADER.pack(self.n_buckets, self.n_items) + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CuckooFilter":
+        n_buckets, n_items = cls.HEADER.unpack_from(b)
+        table = (
+            np.frombuffer(b, dtype=np.uint16, offset=cls.HEADER.size)
+            .copy()
+            .reshape(int(n_buckets), cls.SLOTS)
+        )
+        return cls(int(n_buckets), table, int(n_items))
+
+
+DEFAULT_PARTITION_CAPACITY = 1 << 17  # 128k urls per host_bucket at sandbox scale
+
+
+def new_state_bytes(capacity: int = DEFAULT_PARTITION_CAPACITY) -> tuple[bytes, bytes]:
+    return (
+        BlockedBloom.for_capacity(capacity).to_bytes(),
+        CuckooFilter.for_capacity(capacity).to_bytes(),
+    )

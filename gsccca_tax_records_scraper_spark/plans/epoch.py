@@ -1,0 +1,369 @@
+"""Epoch crawl driver (SURVEY §3.1 "Spark lifecycle equivalent", T1-T6).
+
+One epoch = one Spark batch job over the frontier:
+
+    pending --politeness grant--> fetch+parse (mapInPandas)
+        --> records + interleaved-span documents (append)
+        --> outlinks --canonicalize/junk/robots--> dedup vs seen --> frontier'
+
+Epoch 0 is the search phase: seeds -> synthetic SERP pages -> link extraction
+-> the initial frontier (reference: get_search_results,
+lien_index_scraper.py:362-549). Every epoch commits a checkpoint (frontier /
+seen_state / host_state snapshots + seen_exact / records / documents /
+metrics deltas); a killed run resumes from the last committed epoch and, all
+UDFs being deterministic (no wall clock, no unseeded random), continues
+bit-identically (north_rule, tested in tests/test_resume.py).
+
+Shuffle budget per epoch (the 100-TB story):
+  - grant: 1 shuffle on (host, host_bucket) at full parallelism + 1 tiny
+    shuffle on host over <= budget*n_buckets survivor rows (skew-safe).
+  - fetch: no shuffle (narrow mapInPandas over granted).
+  - dedup: 1 shuffle on url_id (hash-balanced, no host skew) + 1 cogroup on
+    host_bucket; exact anti-join only over bloom-positive residue.
+  - writes are partition-local.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import sitegen
+from ..functions import extract, urltools
+from ..operators import dedup, politeness
+from ..simulator import RobotsRule, default_robots
+from ..sources.checkpoint import CheckpointStore
+
+_FETCH_SCHEMA = (
+    "url_id long, url string, seed_id long, page int, depth int, link_order int, "
+    "doc_id string, county string, instrument string, date_filed string, "
+    "book string, page_no string, debtors string, claimants string, "
+    "amount string, amount_value double, address string, description string, "
+    "media_ref string, cancelled boolean, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "outlinks array<struct<url:string,link_order:int>>"
+)
+
+_CANDIDATE_COLS = ["url", "seed_id", "page", "link_order", "depth", "parent_url_id"]
+
+
+def _fetch_parse(it):
+    """mapInPandas body: synthetic fetch (deterministic page generator keyed
+    by url — the sandbox stand-in for the network) + vectorized parse.
+    Replaces the reference's goto+parse_lien_data loop
+    (lien_index_scraper.py:552-597,600-756)."""
+    for pdf in it:
+        if pdf.empty:
+            continue
+        html = pdf["url"].map(sitegen.detail_html)
+        ocr = pdf["url"].map(sitegen.detail_ocr_text)
+        parsed = extract.parse_detail_frame(
+            pd.DataFrame({"url": pdf["url"], "html": html, "ocr_text": ocr})
+        )
+        doc_no = pdf["url"].str.rsplit("id=", n=1).str[-1].astype("int64")
+        out = pd.DataFrame(
+            {
+                "url_id": pdf["url_id"],
+                "url": pdf["url"],
+                "seed_id": pdf["seed_id"],
+                "page": pdf["page"],
+                "depth": pdf["depth"],
+                "link_order": pdf["link_order"],
+                "doc_id": "doc_" + doc_no.astype(str),
+                "media_ref": doc_no.map(sitegen.media_ref),
+            }
+        )
+        for c in (
+            "county", "instrument", "date_filed", "book", "page_no", "debtors",
+            "claimants", "amount", "amount_value", "address", "description", "cancelled",
+        ):
+            out[c] = parsed[c].values
+        out.loc[out["cancelled"], "media_ref"] = ""
+        spans, outlinks = [], []
+        for i in range(len(out)):
+            row = out.iloc[i]
+            if row["cancelled"]:
+                spans.append([])
+                outlinks.append([])
+                continue
+            rec = {k: row[k] for k in
+                   ("county", "instrument", "date_filed", "book", "page_no",
+                    "debtors", "claimants", "description", "cancelled")}
+            spans.append([
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in extract.record_spans(rec, ocr.iloc[i], row["media_ref"])
+            ])
+            outlinks.append([
+                {"url": urltools.canonicalize(row["url"], raw), "link_order": j}
+                for j, raw in enumerate(urltools.extract_raw_hrefs(html.iloc[i]))
+            ])
+        out["spans"] = spans
+        out["outlinks"] = outlinks
+        yield out
+
+
+class CrawlEngine:
+    """The frontier + scheduler engine. All state lives in the checkpoint
+    store; the object itself is stateless between steps (kill-safe)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | Path,
+        epoch_seconds: float = 400.0,
+        robots_rules: dict[str, RobotsRule] | None = None,
+    ):
+        self.spark = spark
+        self.store = CheckpointStore(workdir)
+        self.epoch_seconds = epoch_seconds
+        self.robots_rules = robots_rules if robots_rules is not None else default_robots()
+
+    # ----------------------------------------------------------- inputs
+    def robots_df(self) -> DataFrame:
+        rows = [
+            (h, list(r.disallow_prefixes), r.rate_per_sec, r.burst)
+            for h, r in sorted(self.robots_rules.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "host string, disallow_prefixes array<string>, rate_per_sec double, burst int"
+        )
+
+    # ------------------------------------------------- candidate plumbing
+    def _finalize_candidates(self, df: DataFrame, epoch: int) -> DataFrame:
+        """Raw (url, seed_id, page, link_order, depth, parent_url_id) rows ->
+        FRONTIER-shaped rows: junk filter (P2), canonical ids/host JVM-side."""
+        url_id = urltools.url_id_col(F.col("url"))
+        host = F.lower(F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1))
+        return (
+            df.filter(~F.lower(F.col("url")).contains("maxrows"))
+            .withColumn("url_id", url_id)
+            .withColumn("host", host)
+            .withColumn("host_bucket", urltools.host_bucket_col(F.col("url_id")))
+            .withColumn("priority", F.col("depth").cast("double"))
+            .withColumn(
+                "crawl_order",
+                F.struct(
+                    F.col("seed_id").cast("long").alias("seed_id"),
+                    F.col("page").cast("int").alias("page"),
+                    F.col("link_order").cast("int").alias("link_order"),
+                    F.col("depth").cast("int").alias("depth"),
+                ),
+            )
+            .withColumn("status", F.lit(""))
+            .withColumn(
+                "lineage",
+                F.struct(
+                    F.col("parent_url_id").cast("long").alias("parent_url_id"),
+                    F.col("seed_id").cast("long").alias("seed_id"),
+                    F.col("depth").cast("int").alias("depth"),
+                    F.lit(epoch).cast("int").alias("discovered_epoch"),
+                ),
+            )
+            .select(
+                "url_id", "url", "host", "host_bucket", "priority",
+                "crawl_order", "status", "lineage",
+            )
+        )
+
+    def _admit(
+        self, raw_candidates: DataFrame, epoch: int
+    ) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
+        """Junk filter + robots gate + dedup; returns (new_rows, seen_state',
+        metric frames)."""
+        robots = self.robots_df()
+        cands = self._finalize_candidates(raw_candidates, epoch)
+        gated = politeness.apply_robots_gate(cands, robots)
+        prev = self.store.last_epoch()
+        seen_exact = (
+            self.store.read_deltas(self.spark, "seen_exact", prev) if prev is not None else None
+        )
+        seen_state = (
+            self.store.read_snapshot(self.spark, "seen_state", prev) if prev is not None else None
+        )
+        new_rows, state = dedup.dedup_candidates(gated, seen_exact, seen_state, epoch)
+        metrics = {"candidates": cands, "admitted": new_rows}
+        return new_rows, state, metrics
+
+    def _write_epoch(
+        self,
+        epoch: int,
+        frontier: DataFrame,
+        seen_state: DataFrame,
+        host_state: DataFrame,
+        new_rows: DataFrame,
+        records: DataFrame | None,
+        documents: DataFrame | None,
+        metric_counts: dict[str, int],
+    ) -> None:
+        st = self.store
+        st.write("frontier", epoch, frontier.repartition(8, "host_bucket"))
+        st.write("seen_state", epoch, seen_state)
+        st.write("host_state", epoch, host_state)
+        st.write(
+            "seen_exact",
+            epoch,
+            new_rows.select("host_bucket", "url_id", "url", F.lit(epoch).alias("epoch")),
+        )
+        if records is not None:
+            st.write("records", epoch, records)
+        if documents is not None:
+            st.write("documents", epoch, documents)
+        mrows = [(epoch, -1, k, int(v)) for k, v in sorted(metric_counts.items())]
+        st.write(
+            "metrics",
+            epoch,
+            self.spark.createDataFrame(
+                mrows or [(epoch, -1, "noop", 0)],
+                "epoch int, host_bucket int, metric string, value long",
+            ),
+        )
+        st.commit(epoch)
+
+    # ------------------------------------------------------------ phases
+    def bootstrap(self, seed_ids: list[int]) -> None:
+        """Epoch 0: search phase. seeds -> SERP pages -> initial frontier."""
+        assert self.store.last_epoch() is None, "workdir already bootstrapped"
+        seeds = self.spark.createDataFrame([(int(s),) for s in seed_ids], "seed_id long")
+
+        def gen_serp(it):
+            for pdf in it:
+                rows = []
+                for seed_id in pdf["seed_id"]:
+                    for page in range(1, sitegen.n_serp_pages(int(seed_id)) + 1):
+                        base = sitegen.serp_base_url(int(seed_id), page)
+                        html = sitegen.serp_html(int(seed_id), page)
+                        for i, raw in enumerate(urltools.extract_raw_hrefs(html)):
+                            rows.append(
+                                (urltools.canonicalize(base, raw), int(seed_id), page, i, 1, None)
+                            )
+                yield pd.DataFrame(rows, columns=_CANDIDATE_COLS)
+
+        raw = seeds.repartition(max(2, min(32, len(seed_ids)))).mapInPandas(
+            gen_serp,
+            "url string, seed_id long, page int, link_order int, depth int, parent_url_id long",
+        )
+        new_rows, state, mframes = self._admit(raw, 0)
+        new_rows = new_rows.cache()
+        n_admitted = new_rows.count()
+        empty_host_state = self.spark.createDataFrame(
+            [], "host string, tokens double, epoch int"
+        )
+        self._write_epoch(
+            0, new_rows, state, empty_host_state, new_rows, None, None,
+            {"admitted": n_admitted, "seeds": len(seed_ids)},
+        )
+        new_rows.unpersist()
+
+    def step(self) -> dict | None:
+        """Run one drain epoch; returns metric counts, or None when the
+        frontier is empty (crawl complete)."""
+        prev = self.store.last_epoch()
+        assert prev is not None, "bootstrap first"
+        epoch = prev + 1
+        pending = self.store.read_snapshot(self.spark, "frontier", prev)
+        if pending.isEmpty():
+            return None
+        robots = self.robots_df()
+        prev_host_state = self.store.read_snapshot(self.spark, "host_state", prev)
+
+        budgets = politeness.compute_budgets(
+            pending, robots, prev_host_state if prev > 0 else None, self.epoch_seconds
+        )
+        granted, host_state_new = politeness.grant(pending, budgets, epoch)
+        granted = granted.cache()
+        n_granted = granted.count()
+        if n_granted == 0:
+            granted.unpersist()
+            return None
+        # carry state for hosts with no pending urls this epoch
+        host_state = host_state_new.unionByName(
+            prev_host_state.select("host", "tokens", F.lit(epoch).alias("epoch")).join(
+                host_state_new.select("host"), "host", "left_anti"
+            )
+        )
+
+        fetched = (
+            granted.select(
+                "url_id", "url",
+                F.col("crawl_order.seed_id").alias("seed_id"),
+                F.col("crawl_order.page").alias("page"),
+                F.col("crawl_order.depth").alias("depth"),
+                F.col("crawl_order.link_order").alias("link_order"),
+            )
+            .mapInPandas(_fetch_parse, _FETCH_SCHEMA)
+            .cache()
+        )
+
+        records = fetched.select(
+            "doc_id", "url_id", "url", "county", "instrument", "date_filed",
+            "book", "page_no", "debtors", "claimants", "amount", "amount_value",
+            "address", "description", "media_ref", "cancelled",
+            F.lit(epoch).cast("int").alias("epoch"),
+            F.struct(
+                F.col("seed_id"), F.col("page"), F.col("link_order"), F.col("depth")
+            ).alias("crawl_order"),
+        )
+        documents = fetched.filter(~F.col("cancelled")).select("doc_id", "url", "spans")
+
+        children = (
+            fetched.filter(~F.col("cancelled"))
+            .select(
+                "url_id", "seed_id", "page", "depth",
+                F.explode_outer("outlinks").alias("o"),
+            )
+            .filter(F.col("o").isNotNull())
+            .select(
+                F.col("o.url").alias("url"),
+                "seed_id", "page",
+                F.col("o.link_order").alias("link_order"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("url_id").alias("parent_url_id"),
+            )
+        )
+        new_rows, seen_state, _ = self._admit(children, epoch)
+        new_rows = new_rows.cache()
+        n_new = new_rows.count()
+
+        frontier_next = pending.join(
+            granted.select("url_id"), "url_id", "left_anti"
+        ).unionByName(new_rows)
+
+        n_cancelled = int(fetched.filter(F.col("cancelled")).count())
+        self._write_epoch(
+            epoch, frontier_next, seen_state, host_state, new_rows,
+            records, documents,
+            {"granted": n_granted, "new_urls": n_new, "cancelled": n_cancelled},
+        )
+        granted.unpersist()
+        fetched.unpersist()
+        new_rows.unpersist()
+        return {"epoch": epoch, "granted": n_granted, "new_urls": n_new,
+                "cancelled": n_cancelled}
+
+    def run(self, seed_ids: list[int] | None = None, max_epochs: int = 1000) -> int:
+        """Bootstrap (if needed) + drain; returns number of drain epochs."""
+        if self.store.last_epoch() is None:
+            assert seed_ids is not None
+            self.bootstrap(seed_ids)
+        e = 0
+        while e < max_epochs:
+            if self.step() is None:
+                break
+            e = self.store.last_epoch()
+        return e
+
+    # ----------------------------------------------------------- outputs
+    def records(self) -> DataFrame | None:
+        return self.store.read_deltas(self.spark, "records", self.store.last_epoch() or 0)
+
+    def documents(self) -> DataFrame | None:
+        return self.store.read_deltas(self.spark, "documents", self.store.last_epoch() or 0)
+
+    def seen(self) -> DataFrame | None:
+        return self.store.read_deltas(self.spark, "seen_exact", self.store.last_epoch() or 0)
+
+    def metrics(self) -> DataFrame | None:
+        return self.store.read_deltas(self.spark, "metrics", self.store.last_epoch() or 0)

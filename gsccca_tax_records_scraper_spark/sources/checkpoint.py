@@ -1,0 +1,75 @@
+"""Epoch-versioned checkpoint store (SURVEY T2/T5, §1.1 "Resume state").
+
+The reference persists resume state as a JSON file + a per-row CSV rewrite
+(lien_index_scraper.py:114-128,592-593) — a full frontier rewrite after EVERY
+processed row. Here state is a set of epoch-partitioned parquet tables under
+a workdir (Iceberg-style layout; plain parquet in the sandbox, the paths and
+commit protocol are format-agnostic):
+
+    <workdir>/<table>/epoch=K/*.parquet     snapshot or delta per epoch
+    <workdir>/MANIFEST.json                 list of COMMITTED epochs
+
+Commit protocol: all tables for epoch K are written first; the manifest is
+rewritten last via tmp+rename (atomic on POSIX — same trick the reference
+uses for Excel saves, lien_index_scraper.py:204-207). A killed job resumes
+from the last committed epoch; partially-written epoch K+1 dirs are ignored
+and overwritten. Snapshot tables (frontier/seen_state/host_state) are read at
+exactly one epoch; delta tables (seen_exact/records/documents/metrics) are
+read as the union of epochs <= K.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_TABLES = ("frontier", "seen_state", "host_state")
+DELTA_TABLES = ("seen_exact", "records", "documents", "metrics")
+
+
+class CheckpointStore:
+    def __init__(self, workdir: str | Path):
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.workdir / "MANIFEST.json"
+
+    def committed_epochs(self) -> list[int]:
+        if not self.manifest_path.exists():
+            return []
+        return sorted(json.loads(self.manifest_path.read_text())["epochs"])
+
+    def last_epoch(self) -> int | None:
+        epochs = self.committed_epochs()
+        return epochs[-1] if epochs else None
+
+    def table_path(self, table: str, epoch: int) -> str:
+        return str(self.workdir / table / f"epoch={epoch}")
+
+    def write(self, table: str, epoch: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.table_path(table, epoch))
+
+    def read_snapshot(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
+        return spark.read.parquet(self.table_path(table, epoch))
+
+    def read_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> DataFrame | None:
+        paths = [
+            self.table_path(table, e)
+            for e in range(upto_epoch + 1)
+            if os.path.exists(self.table_path(table, e, ) + "/_SUCCESS")
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def commit(self, epoch: int) -> None:
+        epochs = set(self.committed_epochs())
+        epochs.add(epoch)
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"epochs": sorted(epochs)}))
+        os.replace(tmp, self.manifest_path)

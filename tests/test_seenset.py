@@ -1,0 +1,79 @@
+"""Property tests for the blocked-Bloom + cuckoo seen-set (SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gsccca_tax_records_scraper_spark.operators import seenset
+
+IDS = st.lists(st.integers(min_value=0, max_value=2**60 - 1), max_size=300, unique=True)
+
+
+@given(IDS)
+@settings(max_examples=30, deadline=None)
+def test_bloom_no_false_negatives(ids):
+    bb = seenset.BlockedBloom.for_capacity(max(len(ids), 16))
+    arr = np.array(ids, dtype=np.uint64)
+    bb.insert(arr)
+    assert bb.contains(arr).all()
+
+
+def test_bloom_fpr_bound():
+    rs = np.random.RandomState(7)
+    inserted = rs.randint(0, 2**60, size=50_000).astype(np.uint64)
+    probes = rs.randint(0, 2**60, size=50_000).astype(np.uint64)
+    bb = seenset.BlockedBloom.for_capacity(50_000, bits_per_key=16)
+    bb.insert(inserted)
+    fpr = bb.contains(probes).mean()
+    assert fpr < 0.01, fpr
+
+
+def test_bloom_serialization_roundtrip():
+    ids = np.arange(1000, dtype=np.uint64) * 2654435761
+    bb = seenset.BlockedBloom.for_capacity(2000)
+    bb.insert(ids)
+    bb2 = seenset.BlockedBloom.from_bytes(bb.to_bytes())
+    assert bb2.n_blocks == bb.n_blocks
+    assert bb2.contains(ids).all()
+    assert np.array_equal(bb2.words, bb.words)
+
+
+@given(IDS)
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_insert_lookup_roundtrip(ids):
+    cf = seenset.CuckooFilter.for_capacity(max(len(ids), 16))
+    arr = np.array(ids, dtype=np.uint64)
+    failed = cf.insert(arr)
+    assert failed == 0
+    assert cf.contains(arr).all()
+
+
+def test_cuckoo_delete():
+    rs = np.random.RandomState(3)
+    ids = np.unique(rs.randint(0, 2**60, size=5000).astype(np.uint64))
+    cf = seenset.CuckooFilter.for_capacity(len(ids))
+    assert cf.insert(ids) == 0
+    removed = cf.delete(ids[:500])
+    assert removed.all()
+    # remaining ids still present
+    assert cf.contains(ids[500:]).all()
+
+
+def test_cuckoo_serialization_roundtrip():
+    ids = (np.arange(3000, dtype=np.uint64) + 1) * 0x9E3779B9
+    cf = seenset.CuckooFilter.for_capacity(4096)
+    cf.insert(ids)
+    cf2 = seenset.CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains(ids).all()
+    assert cf2.n_buckets == cf.n_buckets
+
+
+def test_cuckoo_load_factor():
+    # at the sizing rule (84% of 4-slot buckets) inserts must not fail
+    cap = 10_000
+    cf = seenset.CuckooFilter.for_capacity(cap)
+    rs = np.random.RandomState(11)
+    ids = np.unique(rs.randint(0, 2**60, size=cap).astype(np.uint64))
+    assert cf.insert(ids) == 0
