@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.json targets).
+
+Default run (what the driver executes):
+  - times the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  - measures the two north-rule crawl throughputs on synthetic data:
+      * frontier URLs dedup'd / sec (bloom+cuckoo dedup of N_CAND candidate
+        urls against a 1M-url seen set — a sample of the 10^8-URL frontier)
+      * pages fetched+parsed / sec (deterministic fetch replay + vectorized
+        parse + span assembly over N_PAGES urls)
+  - runs the same crawl workloads at local[8] and local[32] in subprocesses
+    (the sandbox stand-in for N vs 4N executors) and reports scaling
+    efficiency = T_8 / (4 * T_32) per workload
+  - prints ONE JSON line and rewrites BENCH.md
+
+`python bench.py --crawl-worker CORES` is the subprocess entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+N_SEEN = 1_000_000
+N_CAND = 12_000_000
+N_PAGES = 1_200_000
+
+HEADLINE = [
+    "tpch_q1",
+    "revenue_by_segment",
+    "argmax_order",
+    "line_reconstruction",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ngram_overlap_pairs",
+    "cosine_topk_bruteforce",
+    "quality_score",
+    "media_features",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _synth_candidates(spark, n: int, start: int = 0):
+    """FRONTIER-shaped candidate rows synthesized JVM-side (no Python)."""
+    from pyspark.sql import functions as F
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+
+    ids = spark.range(start, start + n).select(F.col("id"))
+    url = F.format_string(
+        "https://search.gsccca.org/Lien/liendetails.asp?county=%d&book=%d&page=%d&id=%d",
+        (F.col("id") % 159 + 1).cast("int"),
+        (F.col("id") / 1000 + 1).cast("int"),
+        (F.col("id") % 997 + 1).cast("int"),
+        F.col("id"),
+    )
+    df = ids.withColumn("url", url)
+    uid = urltools.url_id_col(F.col("url"))
+    return df.select(
+        uid.alias("url_id"),
+        "url",
+        F.lit("search.gsccca.org").alias("host"),
+        urltools.host_bucket_col(uid).alias("host_bucket"),
+        F.lit(1.0).alias("priority"),
+        F.struct(
+            (F.col("id") % 1000).cast("long").alias("seed_id"),
+            F.lit(1).cast("int").alias("page"),
+            (F.col("id") % 100).cast("int").alias("link_order"),
+            F.lit(1).cast("int").alias("depth"),
+        ).alias("crawl_order"),
+        F.lit("").alias("status"),
+        F.struct(
+            F.lit(None).cast("long").alias("parent_url_id"),
+            (F.col("id") % 1000).cast("long").alias("seed_id"),
+            F.lit(1).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("discovered_epoch"),
+        ).alias("lineage"),
+    )
+
+
+def crawl_workloads(cores: int) -> dict:
+    """Dedup + fetch throughput at a given parallelism level."""
+    from pyspark.sql import functions as F
+
+    from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
+    from gsccca_tax_records_scraper_spark.plans.epoch import _FETCH_SCHEMA, _fetch_parse
+    from gsccca_tax_records_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_crawl_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    with tempfile.TemporaryDirectory(prefix="bench_seen_") as tmp:
+        # ---- warmup (untimed): spin up + import-warm the Python workers so
+        # the timed sections measure the pipeline, not cold starts ----------
+        warm = _synth_candidates(spark, 32 * 1024, start=0).repartition(cores)
+        _noop_write(
+            warm.select(
+                "url_id", "url",
+                F.col("crawl_order.seed_id").alias("seed_id"),
+                F.col("crawl_order.page").alias("page"),
+                F.col("crawl_order.depth").alias("depth"),
+                F.col("crawl_order.link_order").alias("link_order"),
+            ).mapInPandas(_fetch_parse, _FETCH_SCHEMA)
+        )
+        wn, ws = dedup_candidates(warm, None, None, 0)
+        _noop_write(wn)
+        _noop_write(ws)
+        wn.unpersist()
+
+        # ---- setup (untimed): build a 1M-url seen set ----------------------
+        seen_cands = _synth_candidates(spark, N_SEEN, start=0)
+        new0, state0 = dedup_candidates(seen_cands, None, None, 0)
+        new0.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/seen_exact")
+        state0.write.mode("overwrite").parquet(f"{tmp}/seen_state")
+        seen_exact = spark.read.parquet(f"{tmp}/seen_exact")
+        seen_state = spark.read.parquet(f"{tmp}/seen_state")
+
+        # best-of-2 per workload: this sandbox shows sporadic CPU steal
+        # (~20% historically per /proc/stat), min damps the noise
+        t_dedup, t_fetch = float("inf"), float("inf")
+        granted = _synth_candidates(spark, N_PAGES, start=0).select(
+            "url_id", "url",
+            F.col("crawl_order.seed_id").alias("seed_id"),
+            F.col("crawl_order.page").alias("page"),
+            F.col("crawl_order.depth").alias("depth"),
+            F.col("crawl_order.link_order").alias("link_order"),
+        ).repartition(max(cores * 2, 8))
+        for _ in range(2):
+            spark.catalog.clearCache()
+            # timed: dedup N_CAND candidates (50% overlap with seen)
+            cands = _synth_candidates(spark, N_CAND, start=N_SEEN // 2)
+            t0 = time.monotonic()
+            new1, state1 = dedup_candidates(cands, seen_exact, seen_state, 1)
+            _noop_write(new1)
+            _noop_write(state1)
+            t_dedup = min(t_dedup, time.monotonic() - t0)
+            # timed: fetch + parse N_PAGES urls
+            t0 = time.monotonic()
+            _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
+            t_fetch = min(t_fetch, time.monotonic() - t0)
+        spark.catalog.clearCache()
+
+    spark.stop()
+    return {
+        "cores": cores,
+        "t_dedup_sec": round(t_dedup, 3),
+        "t_fetch_sec": round(t_fetch, 3),
+        "urls_dedup_per_sec": round(N_CAND / t_dedup, 1),
+        "pages_per_sec": round(N_PAGES / t_fetch, 1),
+    }
+
+
+def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from gsccca_tax_records_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_queries", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _noop_write(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return times
+
+
+def _write_bench_md(payload: dict) -> None:
+    s = payload["scaling"]
+    lines = [
+        "# BENCH — measured throughput (this engine)",
+        "",
+        f"Config: sf_dir=`{payload['sf_dir']}`, headline at local[{payload['cores']}];",
+        f"crawl workloads: dedup {N_CAND:,} candidate urls vs {N_SEEN:,}-url seen set"
+        f" (blocked-Bloom+cuckoo + exact resolve), fetch+parse {N_PAGES:,} pages.",
+        "",
+        "## Scaling (sandbox stand-in for N vs 4N executors, per BASELINE.json)",
+        "",
+        "| workload | local[8] | local[32] | throughput(8) | throughput(32) | efficiency T8/(4*T32) |",
+        "|---|---|---|---|---|---|",
+        (
+            f"| frontier dedup | {s['local8']['t_dedup_sec']}s | {s['local32']['t_dedup_sec']}s"
+            f" | {s['local8']['urls_dedup_per_sec']:,.0f} urls/s"
+            f" | {s['local32']['urls_dedup_per_sec']:,.0f} urls/s"
+            f" | {s['efficiency_dedup']:.3f} |"
+        ),
+        (
+            f"| fetch+parse | {s['local8']['t_fetch_sec']}s | {s['local32']['t_fetch_sec']}s"
+            f" | {s['local8']['pages_per_sec']:,.0f} pages/s"
+            f" | {s['local32']['pages_per_sec']:,.0f} pages/s"
+            f" | {s['efficiency_fetch']:.3f} |"
+        ),
+        "",
+        f"Reference serial ceiling (BASELINE.md): ~0.1-0.3 pages/s fetch+parse;"
+        f" this engine: {s['local32']['pages_per_sec']:,.0f} pages/s at local[32].",
+        "",
+        "## Headline query times (sec)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in payload["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
+        print(json.dumps(crawl_workloads(int(sys.argv[2]))))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    times = run_headline(sf_dir, cores)
+
+    scaling_raw = {}
+    for c in (8, 32):
+        # pin the worker to exactly c cpus: in plain local[c] the JVM's
+        # GC/shuffle/python-worker threads would still use the whole
+        # machine, inflating the low-parallelism baseline
+        cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, cwd=str(REPO),
+        )
+        scaling_raw[f"local{c}"] = json.loads(proc.stdout.strip().splitlines()[-1])
+    s8, s32 = scaling_raw["local8"], scaling_raw["local32"]
+    scaling = {
+        **scaling_raw,
+        "efficiency_dedup": round(s8["t_dedup_sec"] / (4 * s32["t_dedup_sec"]), 3),
+        "efficiency_fetch": round(s8["t_fetch_sec"] / (4 * s32["t_fetch_sec"]), 3),
+    }
+
+    payload = {
+        "metric": "headline query wall time at sf0.1 (+ crawl throughput/scaling)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "sf_dir": sf_dir,
+        "pages_per_sec": s32["pages_per_sec"],
+        "urls_dedup_per_sec": s32["urls_dedup_per_sec"],
+        "scaling": scaling,
+    }
+    _write_bench_md(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

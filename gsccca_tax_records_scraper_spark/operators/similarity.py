@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a crossJoin + JVM-side `aggregate`/
+`zip_with` dot product (no Python in the loop), window top-k per query.
+Scale paths:
+  - LSH (random hyperplanes): bucket vectors by sign bits of seeded random
+    projections; candidates share a bucket -> cosine only within buckets.
+  - IVF: coarse centroids (computed by averaging per partition key or
+    provided), probe the nearest `nprobe` centroids per query.
+
+At 100 TB the crossJoin is the enemy: LSH/IVF turn O(N*Q) into
+O(N*Q / buckets) with a broadcast of the (tiny) centroid/plane table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries: (query_id, embedding).
+    Output: (query_id, vec_id, cos, rank). Queries side is broadcast —
+    correct plan shape for few-queries-many-vectors."""
+    b = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_planes, dim)).astype(float).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from deterministic random hyperplanes (JVM-side)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing the query's LSH
+    bucket. Recall < 1; the candidate set shrinks ~2^n_planes-fold."""
+    planes = _random_planes(dim, n_planes, seed)
+    b = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = b.join(F.broadcast(q), "bucket").select(
+        "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat: seed centroids from deterministic random directions, assign
+    every vector to its nearest cell, probe the query's `nprobe` nearest
+    cells. Centroid table is tiny -> broadcast; the big side shuffles once on
+    cell assignment (and would be *stored* bucketed by cell at 100 TB)."""
+    cents = _random_planes(dim, n_cells, seed)
+
+    def cell_of(vec: Column) -> Column:
+        best_id, best_val = None, None
+        for i, c in enumerate(cents):
+            d = dot_col(vec, F.array(*[F.lit(float(x)) for x in c]))
+            if best_id is None:
+                best_id, best_val = F.lit(i), d
+            else:
+                cond = d > best_val
+                best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+                best_val = F.when(cond, d).otherwise(best_val)
+        return best_id.cast("int")
+
+    def probe_cells(vec: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    dot_col(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, nprobe).getField("cell")
+
+    b = base.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = b.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )

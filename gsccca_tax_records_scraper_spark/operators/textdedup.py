@@ -1,0 +1,175 @@
+"""Document deduplication operators for training-data pipelines.
+
+The reference's dedup is URL/natural-key equality (realestate_index_scraper
+.py:474,510; dashboard/utils/init_scraper.py:74-78). A 100 TB corpus needs
+content-level dedup as well; these operators provide the standard ladder:
+
+  exact        md5-fingerprint hash-groupBy (one shuffle on the fingerprint)
+  ngram        shingle-overlap blocking join (explode shingles -> self-join ->
+               pair-count filter); at scale the explode keys are rare-ish
+               3-gram shingles, so the join fan-out stays bounded
+  minhash-LSH  per-band min-hash signatures -> band-bucket self-join; only
+               bucket collisions are compared (the 10^10-doc scale path)
+  simhash      sign-aggregated token-hash bits -> 64->`bits`-bit fingerprint;
+               hamming-near pairs via bucketed xor/bit_count
+
+All hashes are md5/hex-derived so the DuckDB oracle can reproduce them
+bit-for-bit (no engine-specific hash functions in the contract surface).
+Everything is built-in pyspark.sql.functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_K = 3
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Word k-gram shingles, 1-based positions (matches the DuckDB oracle).
+    Documents shorter than k tokens shingle to the whole text."""
+    t = tokens_col(text)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(t) >= k, joined).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of sorted distinct tokens
+    (the rolling-hash analog, reproducible in ANSI SQL)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text))), " "))
+
+
+def hex_to_long(hex_col: Column) -> Column:
+    """First 60 bits of a hex digest as a non-negative BIGINT (oracle:
+    ('0x' || substr(h,1,15))::BIGINT)."""
+    return F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of identical texts (md5 fingerprint hash-groupBy).
+    Returns (fp, n_docs, min_doc_id) for groups with n_docs > 1."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    min_common: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= min_common distinct k-shingles.
+    One explode + one self-equi-join on the shingle + one pair aggregation."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, band, minhash): per band b, min over shingles of
+    md5(shingle || '#b'). Lexicographic min over hex == numeric min over the
+    corresponding 128-bit value, and is oracle-reproducible."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{b}")))).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    wide = ex.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) as (band, minhash)")
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct doc pairs colliding in at least one (band, minhash) bucket."""
+    a, b = signatures.alias("a"), signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_col_exprs(bits: int = 16):
+    """Per-bit sum expressions for simhash over distinct tokens; used by
+    simhash_fingerprints and mirrored in the oracle SQL generator."""
+    h = hex_to_long(F.md5(F.col("tok")))
+    return [
+        F.sum(
+            F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+
+
+def simhash_fingerprints(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): sign-aggregate each of `bits` hash bits over the
+    document's distinct tokens."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    )
+    wide = ex.groupBy("doc_id").agg(*simhash_col_exprs(bits))
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return wide.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
+    """Pairs within hamming distance; brute pair compare (bucket by the top
+    byte first at scale — here the corpus fits a single compare stage)."""
+    a, b = fingerprints.alias("a"), fingerprints.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def top_k_per_group(df: DataFrame, part_cols: list[str], order_cols: list[Column], k: int) -> DataFrame:
+    """Window top-k (SURVEY A2/O3): row_number over a deterministic order."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

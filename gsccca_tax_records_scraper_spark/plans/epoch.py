@@ -82,23 +82,27 @@ def _fetch_parse(it):
         ):
             out[c] = parsed[c].values
         out.loc[out["cancelled"], "media_ref"] = ""
+        # columnar -> python lists once; per-row dict assembly only (the
+        # extraction itself happened vectorized above)
+        rec_cols = ("county", "instrument", "date_filed", "book", "page_no",
+                    "debtors", "claimants", "description", "cancelled")
+        lists = {c: out[c].tolist() for c in rec_cols + ("url", "media_ref")}
+        ocr_l, html_l = ocr.tolist(), html.tolist()
         spans, outlinks = [], []
         for i in range(len(out)):
-            row = out.iloc[i]
-            if row["cancelled"]:
+            if lists["cancelled"][i]:
                 spans.append([])
                 outlinks.append([])
                 continue
-            rec = {k: row[k] for k in
-                   ("county", "instrument", "date_filed", "book", "page_no",
-                    "debtors", "claimants", "description", "cancelled")}
+            rec = {k: lists[k][i] for k in rec_cols}
             spans.append([
                 {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for (k, t, m, o) in extract.record_spans(rec, ocr.iloc[i], row["media_ref"])
+                for (k, t, m, o) in extract.record_spans(rec, ocr_l[i], lists["media_ref"][i])
             ])
+            url_i = lists["url"][i]
             outlinks.append([
-                {"url": urltools.canonicalize(row["url"], raw), "link_order": j}
-                for j, raw in enumerate(urltools.extract_raw_hrefs(html.iloc[i]))
+                {"url": urltools.canonicalize(url_i, raw), "link_order": j}
+                for j, raw in enumerate(urltools.extract_raw_hrefs(html_l[i]))
             ])
         out["spans"] = spans
         out["outlinks"] = outlinks

@@ -1,0 +1,68 @@
+"""Driver-contract protection: a representative subset of
+__spark_entry__.queries() checked against oracle_sql() on DuckDB at sf0.001
+(the full set runs via tools/check_contract.py and the driver at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_contract import TABLES, canon_rows
+
+SUBSET = [
+    "status_filter_resume",
+    "anti_join_unseen",
+    "argmax_order",
+    "line_reconstruction",
+    "lag_gap",
+    "except_tokens",
+    "tpch_q1",
+    "revenue_by_segment",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "media_features",
+    "quality_score",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf001):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf001}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf001, duck, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, sf001)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.sql(oracles[name])
+    dcols = [c.lower() for c in res.columns]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"source", "n_docs", "avg_quality", "total_tokens", "docs_with_dups"} == set(
+        df.columns
+    )
+
+
+def test_every_query_has_callable_and_oracle_coverage():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert len(qs) >= 45
+    missing = set(oracles) - set(qs)
+    assert not missing
+    # rows-only entries are the documented non-SQL-expressible ones
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"ann_lsh_topk", "ann_ivf_topk", "crawl_canonicalize_dedup"}

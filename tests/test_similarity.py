@@ -1,0 +1,59 @@
+"""ANN operators: approximate variants must agree with brute force on
+recall, and the brute-force result is itself oracle-checked in the driver
+contract (cosine_topk_bruteforce)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsccca_tax_records_scraper_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001):
+    return spark.read.parquet(f"{sf001}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_bruteforce_self_is_top1(emb, queries):
+    bf = similarity.brute_force_topk(emb, queries, k=3)
+    for r in bf.filter(F.col("rank") == 1).collect():
+        assert r.vec_id == r.query_id  # self-similarity = 1.0
+        assert r.cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_recall_vs_bruteforce(emb, queries):
+    bf = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    lsh = _topk_sets(similarity.lsh_topk(emb, queries, k=5, n_planes=4))
+    recalls = [len(bf[q] & lsh.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.3  # approximate, bucketed
+    # every LSH hit must be a genuine vector id
+    assert all(len(v) <= 5 for v in lsh.values())
+
+
+def test_ivf_recall_vs_bruteforce(emb, queries):
+    bf = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    ivf = _topk_sets(similarity.ivf_topk(emb, queries, k=5, n_cells=4, nprobe=2))
+    recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_probe_reduces_candidates(emb, queries):
+    # with nprobe == n_cells IVF degenerates to brute force
+    full = similarity.ivf_topk(emb, queries, k=3, n_cells=4, nprobe=4)
+    bf = similarity.brute_force_topk(emb, queries, k=3)
+    assert _topk_sets(full) == _topk_sets(bf)
