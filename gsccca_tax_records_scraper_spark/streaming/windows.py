@@ -1,0 +1,50 @@
+"""Windowed metrics over event streams (SURVEY T7, W-family).
+
+The reference has no session/tumbling windows; the engine provides tumbling
+count/sum windows over fetch/metric events for monitoring — batch and
+streaming variants of the same logical plan (Structured Streaming with a
+watermark for late data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_metrics(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch tumbling-window aggregation: (window_start, event_type, n, total)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def streaming_tumbling_metrics(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "metrics_stream",
+):
+    """Streaming variant over a parquet directory source with a watermark
+    for late rows; memory sink for inspection. Returns the StreamingQuery —
+    callers processAllAvailable() then read `SELECT * FROM <query_name>`."""
+    events = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(parquet_dir)
+    )
+    # watermarks require TIMESTAMP (session-TZ), not TIMESTAMP_NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

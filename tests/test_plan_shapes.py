@@ -1,0 +1,90 @@
+"""Physical-plan assertions (the 100-TB story, SURVEY §4).
+
+Correctness tests say the answer is right; these say the PLAN is right:
+filters and projections reach the parquet scan, small dims broadcast, the
+hot paths stay inside WholeStageCodegen, and the politeness grant never
+windows the full frontier by raw host."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def explain(df) -> str:
+    """The string df.explain('formatted') would print."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf01):
+    df = (
+        spark.read.parquet(f"{sf01}/orders.parquet")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    plan = explain(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+    # column pruning: only the two selected columns in ReadSchema
+    assert "o_totalprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dim_join_is_broadcast(spark, sf01):
+    df = entrymod.queries()["dim_broadcast_join"](spark, sf01)
+    plan = explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark, sf01):
+    df = entrymod.queries()["anti_join_unseen"](spark, sf01)
+    plan = explain(df)
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q1_wholestage_codegen(spark, sf01):
+    df = entrymod.queries()["tpch_q1"](spark, sf01)
+    plan = explain(df)
+    # aggregation is partial (map-side combine) before the exchange
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    # the hot path compiles into whole-stage codegen (codegen explain mode;
+    # the AQE formatted plan hides the codegen annotation pre-execution)
+    codegen = df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_grant_has_no_full_host_window(spark, tmp_path):
+    """The politeness grant's first window must partition by
+    (host, host_bucket) — a raw-host window would serialize the hot host."""
+    from gsccca_tax_records_scraper_spark.operators import politeness
+    import bench
+
+    pending = bench._synth_candidates(spark, 1000)
+    robots = spark.createDataFrame(
+        [("search.gsccca.org", [], 0.25, 10)],
+        "host string, disallow_prefixes array<string>, rate_per_sec double, burst int",
+    )
+    budgets = politeness.compute_budgets(pending, robots, None, 60.0)
+    granted, _ = politeness.grant(pending, budgets, 1)
+    plan = explain(granted)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2
+    # the first (full-frontier) window must shard on host_bucket; the
+    # host-only window runs second, over the pruned survivors. (the literal
+    # single-host column itself constant-folds out of the spec here.)
+    assert specs[0].split(",")[0].startswith("host_bucket")
+    assert not specs[1].split(",")[0].startswith("host_bucket")
+
+
+def test_scan_partition_count_respects_input(spark, sf01):
+    li = spark.read.parquet(f"{sf01}/lineitem.parquet")
+    # 600k rows in a single small file: must not explode into tiny tasks
+    assert li.rdd.getNumPartitions() <= 32
