@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 from .dedup import order_cols
 
 
+def jitter_ms_col(url_id, lo_ms: int = 3000, hi_ms: int = 5000, seed: int = 42):
+    """Deterministic politeness jitter (SURVEY F13): the reference sleeps
+    uniform(3000,5000)ms per action (lien_index_scraper.py:96-97). A crawl
+    schedule needs the same spread WITHOUT wall-clock randomness, and
+    F.rand(seed) is partition-layout-dependent, so the jitter is a pure hash
+    of (url_id, seed) — stable under any repartitioning."""
+    h = F.xxhash64(url_id, F.lit(seed))
+    return (F.pmod(h, F.lit(hi_ms - lo_ms)) + F.lit(lo_ms)).cast("int")
+
+
 def apply_robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop candidate URLs matching a disallowed path prefix for their host.
     robots is tiny (one row per host) -> broadcast join."""

@@ -216,11 +216,16 @@ class CrawlEngine:
         if documents is not None:
             st.write("documents", epoch, documents)
         mrows = [(epoch, -1, k, int(v)) for k, v in sorted(metric_counts.items())]
+        # per-partition lineage/metrics (north_rule): admitted-per-bucket
+        per_bucket = [
+            (epoch, int(r["host_bucket"]), "admitted", int(r["n"]))
+            for r in new_rows.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+        ]
         st.write(
             "metrics",
             epoch,
             self.spark.createDataFrame(
-                mrows or [(epoch, -1, "noop", 0)],
+                (mrows + per_bucket) or [(epoch, -1, "noop", 0)],
                 "epoch int, host_bucket int, metric string, value long",
             ),
         )
