@@ -42,12 +42,40 @@ _FETCH_SCHEMA = (
     "doc_id string, county string, instrument string, date_filed string, "
     "book string, page_no string, debtors string, claimants string, "
     "amount string, amount_value double, address string, description string, "
-    "media_ref string, cancelled boolean, "
-    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "outlinks array<struct<url:string,link_order:int>>"
+    "media_ref string, cancelled boolean, ocr_text string, "
+    "outlink_urls array<string>"
 )
 
 _CANDIDATE_COLS = ["url", "seed_id", "page", "link_order", "depth", "parent_url_id"]
+
+
+def _span(kind: str, text, media_ref, offset: int):
+    return F.struct(
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        F.lit(offset).cast("int").alias("offset"),
+    )
+
+
+def span_col():
+    """Interleaved span sequence built JVM-side from the parsed columns —
+    mirrors extract.record_spans exactly (tests assert span equality against
+    the simulator, which uses the Python version)."""
+    empty = F.lit("")
+    header = F.concat_ws(
+        "|", F.col("county"), F.col("instrument"), F.col("date_filed"),
+        F.col("book"), F.col("page_no"),
+    )
+    parties = F.concat(F.col("debtors"), F.lit("; "), F.col("claimants"))
+    # callers select spans only for non-cancelled rows
+    return F.array(
+        _span("text", header, empty, 0),
+        _span("text", F.col("description"), empty, 1),
+        _span("text", parties, empty, 2),
+        _span("media", empty, F.col("media_ref"), 3),
+        _span("text", F.col("ocr_text"), empty, 4),
+    )
 
 
 def _fetch_parse(it):
@@ -82,30 +110,21 @@ def _fetch_parse(it):
         ):
             out[c] = parsed[c].values
         out.loc[out["cancelled"], "media_ref"] = ""
-        # columnar -> python lists once; per-row dict assembly only (the
-        # extraction itself happened vectorized above)
-        rec_cols = ("county", "instrument", "date_filed", "book", "page_no",
-                    "debtors", "claimants", "description", "cancelled")
-        lists = {c: out[c].tolist() for c in rec_cols + ("url", "media_ref")}
-        ocr_l, html_l = ocr.tolist(), html.tolist()
-        spans, outlinks = [], []
-        for i in range(len(out)):
-            if lists["cancelled"][i]:
-                spans.append([])
-                outlinks.append([])
-                continue
-            rec = {k: lists[k][i] for k in rec_cols}
-            spans.append([
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for (k, t, m, o) in extract.record_spans(rec, ocr_l[i], lists["media_ref"][i])
-            ])
-            url_i = lists["url"][i]
-            outlinks.append([
-                {"url": urltools.canonicalize(url_i, raw), "link_order": j}
-                for j, raw in enumerate(urltools.extract_raw_hrefs(html_l[i]))
-            ])
-        out["spans"] = spans
-        out["outlinks"] = outlinks
+        out["ocr_text"] = ocr.where(~out["cancelled"], "")
+        # outlink extraction + canonicalization is the only per-row Python
+        # left; span assembly happens JVM-side (span_col in this module)
+        cancelled_l = out["cancelled"].tolist()
+        url_l = out["url"].tolist()
+        html_l = html.tolist()
+        out["outlink_urls"] = [
+            []
+            if cancelled_l[i]
+            else [
+                urltools.canonicalize(url_l[i], raw)
+                for raw in urltools.extract_raw_hrefs(html_l[i])
+            ]
+            for i in range(len(out))
+        ]
         yield out
 
 
@@ -315,19 +334,19 @@ class CrawlEngine:
                 F.col("seed_id"), F.col("page"), F.col("link_order"), F.col("depth")
             ).alias("crawl_order"),
         )
-        documents = fetched.filter(~F.col("cancelled")).select("doc_id", "url", "spans")
+        documents = fetched.filter(~F.col("cancelled")).select(
+            "doc_id", "url", span_col().alias("spans")
+        )
 
         children = (
             fetched.filter(~F.col("cancelled"))
             .select(
                 "url_id", "seed_id", "page", "depth",
-                F.explode_outer("outlinks").alias("o"),
+                F.posexplode("outlink_urls").alias("link_order", "url"),
             )
-            .filter(F.col("o").isNotNull())
             .select(
-                F.col("o.url").alias("url"),
-                "seed_id", "page",
-                F.col("o.link_order").alias("link_order"),
+                "url",
+                "seed_id", "page", "link_order",
                 (F.col("depth") + 1).alias("depth"),
                 F.col("url_id").alias("parent_url_id"),
             )
