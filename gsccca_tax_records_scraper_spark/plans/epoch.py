@@ -220,6 +220,7 @@ class CrawlEngine:
         records: DataFrame | None,
         documents: DataFrame | None,
         metric_counts: dict[str, int],
+        bucket_counts: dict[int, int] | None = None,
     ) -> None:
         st = self.store
         st.write("frontier", epoch, frontier.repartition(8, "host_bucket"))
@@ -236,9 +237,13 @@ class CrawlEngine:
             st.write("documents", epoch, documents)
         mrows = [(epoch, -1, k, int(v)) for k, v in sorted(metric_counts.items())]
         # per-partition lineage/metrics (north_rule): admitted-per-bucket
+        if bucket_counts is None:
+            bucket_counts = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in new_rows.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+            }
         per_bucket = [
-            (epoch, int(r["host_bucket"]), "admitted", int(r["n"]))
-            for r in new_rows.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+            (epoch, b, "admitted", n) for b, n in sorted(bucket_counts.items())
         ]
         st.write(
             "metrics",
@@ -353,17 +358,25 @@ class CrawlEngine:
         )
         new_rows, seen_state, _ = self._admit(children, epoch)
         new_rows = new_rows.cache()
-        n_new = new_rows.count()
+        # one action for all admission metrics (total + per-bucket)
+        bucket_counts = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in new_rows.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = sum(bucket_counts.values())
 
         frontier_next = pending.join(
             granted.select("url_id"), "url_id", "left_anti"
         ).unionByName(new_rows)
 
-        n_cancelled = int(fetched.filter(F.col("cancelled")).count())
+        n_cancelled = int(
+            fetched.agg(F.sum(F.col("cancelled").cast("int")).alias("nc")).first()["nc"] or 0
+        )
         self._write_epoch(
             epoch, frontier_next, seen_state, host_state, new_rows,
             records, documents,
             {"granted": n_granted, "new_urls": n_new, "cancelled": n_cancelled},
+            bucket_counts=bucket_counts,
         )
         granted.unpersist()
         fetched.unpersist()
