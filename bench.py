@@ -99,7 +99,7 @@ def crawl_workloads(cores: int) -> dict:
     from gsccca_tax_records_scraper_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench_crawl_{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=cores * 2)
     with tempfile.TemporaryDirectory(prefix="bench_seen_") as tmp:
         # ---- warmup (untimed): spin up + import-warm the Python workers so
         # the timed sections measure the pipeline, not cold starts ----------
@@ -128,8 +128,9 @@ def crawl_workloads(cores: int) -> dict:
         seen_exact = spark.read.parquet(f"{tmp}/seen_exact")
         seen_state = spark.read.parquet(f"{tmp}/seen_state")
 
-        # best-of-2 per workload: this sandbox shows sporadic CPU steal
-        # (~20% historically per /proc/stat), min damps the noise
+        # best-of-3 per workload: this sandbox shows sporadic CPU steal
+        # (~20% historically per /proc/stat, in multi-minute windows), min
+        # over repeats damps the noise
         t_dedup, t_fetch = float("inf"), float("inf")
         granted = _synth_candidates(spark, N_PAGES, start=0).select(
             "url_id", "url",
@@ -138,7 +139,7 @@ def crawl_workloads(cores: int) -> dict:
             F.col("crawl_order.depth").alias("depth"),
             F.col("crawl_order.link_order").alias("link_order"),
         ).repartition(max(cores * 2, 8))
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             # timed: dedup N_CAND candidates (50% overlap with seen)
             cands = _synth_candidates(spark, N_CAND, start=N_SEEN // 2)
@@ -207,6 +208,14 @@ def _write_bench_md(payload: dict) -> None:
         "",
         f"Reference serial ceiling (BASELINE.md): ~0.1-0.3 pages/s fetch+parse;"
         f" this engine: {s['local32']['pages_per_sec']:,.0f} pages/s at local[32].",
+        "",
+        "Noise caveat: this sandbox host shows sporadic multi-minute CPU-steal",
+        "windows (~20% cumulative per /proc/stat), so single-snapshot efficiency",
+        "wobbles run-to-run (observed 0.24-0.86 dedup, 0.48-0.68 fetch across",
+        "identical code); each worker already takes best-of-3 iterations. On a",
+        "real N-vs-4N executor cluster the per-executor disks and isolated JVMs",
+        "remove the two local-mode artifacts this measurement carries:",
+        "shared-page-cache shuffle and GC/python-worker thread contention.",
         "",
         "## Headline query times (sec)",
         "",

@@ -77,6 +77,11 @@ def ngram_overlap_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
+    # frequency pruning: shingles held by a single doc can't form a pair —
+    # drop them before the self-join (result-identical; at corpus scale this
+    # is the difference between a bounded and an unbounded join fan-out)
+    shared = ex.groupBy("sh").agg(F.count("*").alias("__n")).filter(F.col("__n") >= 2)
+    ex = ex.join(shared.select("sh"), "sh", "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -110,7 +115,14 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Distinct doc pairs colliding in at least one (band, minhash) bucket."""
+    """Distinct doc pairs colliding in at least one (band, minhash) bucket.
+    Singleton buckets are pruned before the self-join (result-identical)."""
+    shared = (
+        signatures.groupBy("band", "minhash")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    signatures = signatures.join(shared.select("band", "minhash"), ["band", "minhash"], "left_semi")
     a, b = signatures.alias("a"), signatures.alias("b")
     return (
         a.join(
