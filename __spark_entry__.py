@@ -630,15 +630,17 @@ def q_revenue_segment(spark, sf):
 
 @_q(
     "tumbling_window_agg",
-    "SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type,"
-    " count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2",
+    "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,"
+    " event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2",
 )
 def q_tumbling_window(spark, sf):
     from gsccca_tax_records_scraper_spark.streaming.windows import tumbling_metrics
 
     out = tumbling_metrics(_t(spark, sf, "events"), "1 hour")
+    # format the NTZ wall-clock value directly: no session-timezone
+    # dependence either side
     return out.select(
-        F.unix_seconds(F.col("window_start").cast("timestamp")).alias("ws_epoch"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
         "event_type", "n", "total",
     )
 
