@@ -138,11 +138,13 @@ class CrawlEngine:
         workdir: str | Path,
         epoch_seconds: float = 400.0,
         robots_rules: dict[str, RobotsRule] | None = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.store = CheckpointStore(workdir)
         self.epoch_seconds = epoch_seconds
         self.robots_rules = robots_rules if robots_rules is not None else default_robots()
+        self.compact_every = compact_every
 
     # ----------------------------------------------------------- inputs
     def robots_df(self) -> DataFrame:
@@ -253,6 +255,10 @@ class CrawlEngine:
                 "epoch int, host_bucket int, metric string, value long",
             ),
         )
+        # fold the per-epoch seen_exact deltas periodically so resume reads
+        # stay O(1) dirs instead of O(epochs); takes effect at this commit
+        if epoch > 0 and self.compact_every and epoch % self.compact_every == 0:
+            st.compact_deltas(self.spark, "seen_exact", epoch)
         st.commit(epoch)
 
     # ------------------------------------------------------------ phases

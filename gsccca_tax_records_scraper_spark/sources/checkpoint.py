@@ -39,10 +39,15 @@ class CheckpointStore:
     def manifest_path(self) -> Path:
         return self.workdir / "MANIFEST.json"
 
-    def committed_epochs(self) -> list[int]:
+    def _manifest(self) -> dict:
         if not self.manifest_path.exists():
-            return []
-        return sorted(json.loads(self.manifest_path.read_text())["epochs"])
+            return {"epochs": [], "compacted": {}}
+        m = json.loads(self.manifest_path.read_text())
+        m.setdefault("compacted", {})
+        return m
+
+    def committed_epochs(self) -> list[int]:
+        return sorted(self._manifest()["epochs"])
 
     def last_epoch(self) -> int | None:
         epochs = self.committed_epochs()
@@ -57,19 +62,50 @@ class CheckpointStore:
     def read_snapshot(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
         return spark.read.parquet(self.table_path(table, epoch))
 
+    def compacted_path(self, table: str, epoch: int) -> str:
+        return str(self.workdir / table / f"compacted={epoch}")
+
+    def compacted_epoch(self, table: str) -> int | None:
+        return self._manifest()["compacted"].get(table)
+
     def read_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> DataFrame | None:
-        paths = [
+        """Union of the table's delta dirs up to `upto_epoch`, reading the
+        latest committed compaction instead of the deltas it folded in."""
+        comp = self.compacted_epoch(table)
+        paths = []
+        start = 0
+        if comp is not None and comp <= upto_epoch:
+            paths.append(self.compacted_path(table, comp))
+            start = comp + 1
+        paths += [
             self.table_path(table, e)
-            for e in range(upto_epoch + 1)
-            if os.path.exists(self.table_path(table, e, ) + "/_SUCCESS")
+            for e in range(start, upto_epoch + 1)
+            if os.path.exists(self.table_path(table, e) + "/_SUCCESS")
         ]
         if not paths:
             return None
         return spark.read.parquet(*paths)
 
+    def compact_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> None:
+        """Fold all deltas <= upto_epoch into one partitioned dir. Readers
+        switch over only at the next manifest commit (the compacted epoch is
+        recorded there), so a crash mid-compaction leaves an ignored orphan
+        dir. Old delta dirs are retained (cheap, crash-safe; a vacuum step
+        can remove them once the compaction is committed)."""
+        df = self.read_deltas(spark, table, upto_epoch)
+        if df is None:
+            return
+        df.write.mode("overwrite").parquet(self.compacted_path(table, upto_epoch))
+        self._pending_compactions = getattr(self, "_pending_compactions", {})
+        self._pending_compactions[table] = upto_epoch
+
     def commit(self, epoch: int) -> None:
-        epochs = set(self.committed_epochs())
+        m = self._manifest()
+        epochs = set(m["epochs"])
         epochs.add(epoch)
+        for table, e in getattr(self, "_pending_compactions", {}).items():
+            m["compacted"][table] = e
+        self._pending_compactions = {}
         tmp = self.manifest_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"epochs": sorted(epochs)}))
+        tmp.write_text(json.dumps({"epochs": sorted(epochs), "compacted": m["compacted"]}))
         os.replace(tmp, self.manifest_path)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from gsccca_tax_records_scraper_spark.plans.epoch import CrawlEngine
 
-SEEDS = [7, 8]
+SEEDS = [7]
 
 
 def _table_key(eng, name):
