@@ -18,7 +18,10 @@ order (ordered-dict dedup realestate_index_scraper.py:474; drop_duplicates
   state update  second cogroup inserts confirmed-new ids into bloom+cuckoo;
                 only touched host_buckets rewrite.
 
-The decision is EXACT (filters only skip work, never claim "seen").
+The decision is EXACT (filters only skip work, never claim "seen"). The
+cuckoo table is not probed on this hot path — it is maintained for the
+deletion/recrawl-revocation capability (north_star): removing a url from the
+bloom is impossible, from the cuckoo it is an O(1) fingerprint delete.
 Struct columns are flattened to scalars across the Arrow boundary and
 rebuilt after — structs-through-pandas cost ~2x in serialization.
 """

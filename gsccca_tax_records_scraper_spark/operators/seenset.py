@@ -210,7 +210,12 @@ class CuckooFilter:
         return cls(int(n_buckets), table, int(n_items))
 
 
-DEFAULT_PARTITION_CAPACITY = 1 << 17  # 128k urls per host_bucket at sandbox scale
+# Per-host_bucket filter capacity. At 10^10 urls / 4096 buckets this would be
+# ~2.4M per bucket (sized at table-creation time); the sandbox default covers
+# the bench's ~190k/bucket. NOTE: filters do not self-resize — a bucket
+# overflowing its capacity degrades bloom fpr (more exact-join work, still
+# correct); resizing needs a rebuild from the bucket's seen_exact partition.
+DEFAULT_PARTITION_CAPACITY = 1 << 18  # 256k urls per host_bucket
 
 
 def new_state_bytes(capacity: int = DEFAULT_PARTITION_CAPACITY) -> tuple[bytes, bytes]:

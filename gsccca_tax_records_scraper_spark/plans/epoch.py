@@ -314,15 +314,25 @@ class CrawlEngine:
         granted, host_state_new = politeness.grant(pending, budgets, epoch)
         granted = granted.cache()
         n_granted = granted.count()
-        if n_granted == 0:
-            granted.unpersist()
-            return None
         # carry state for hosts with no pending urls this epoch
         host_state = host_state_new.unionByName(
             prev_host_state.select("host", "tokens", F.lit(epoch).alias("epoch")).join(
                 host_state_new.select("host"), "host", "left_anti"
             )
         )
+        if n_granted == 0:
+            # zero-grant epoch (tokens still fractional): commit the token
+            # accrual and carry on — the simulator does the same; returning
+            # None here would abandon a non-empty frontier
+            granted.unpersist()
+            empty_rows = self.spark.createDataFrame([], pending.schema)
+            self._write_epoch(
+                epoch, pending, self.store.read_snapshot(self.spark, "seen_state", prev),
+                host_state, empty_rows, None, None,
+                {"granted": 0, "new_urls": 0, "cancelled": 0}, bucket_counts={},
+            )
+            self.spark.catalog.clearCache()
+            return {"epoch": epoch, "granted": 0, "new_urls": 0, "cancelled": 0}
 
         fetched = (
             granted.select(
@@ -387,20 +397,25 @@ class CrawlEngine:
         granted.unpersist()
         fetched.unpersist()
         new_rows.unpersist()
+        # dedup_candidates persists intermediates internally; nothing should
+        # stay cached across epochs, so clear rather than leak per epoch
+        self.spark.catalog.clearCache()
         return {"epoch": epoch, "granted": n_granted, "new_urls": n_new,
                 "cancelled": n_cancelled}
 
     def run(self, seed_ids: list[int] | None = None, max_epochs: int = 1000) -> int:
-        """Bootstrap (if needed) + drain; returns number of drain epochs."""
+        """Bootstrap (if needed) + drain; returns the number of drain epochs
+        executed by THIS invocation (0 when resuming a drained crawl).
+        max_epochs bounds this invocation, not the absolute epoch number."""
         if self.store.last_epoch() is None:
             assert seed_ids is not None
             self.bootstrap(seed_ids)
-        e = 0
-        while e < max_epochs:
+        n = 0
+        while n < max_epochs:
             if self.step() is None:
                 break
-            e = self.store.last_epoch()
-        return e
+            n += 1
+        return n
 
     # ----------------------------------------------------------- outputs
     def records(self) -> DataFrame | None:

@@ -32,6 +32,17 @@ DELTA_TABLES = ("seen_exact", "records", "documents", "metrics")
 
 class CheckpointStore:
     def __init__(self, workdir: str | Path):
+        if "://" in str(workdir):
+            # the store currently manipulates the manifest and _SUCCESS
+            # probes through the local filesystem; pointing it at hdfs://
+            # or s3:// would silently read empty state — fail loudly instead.
+            # (cluster deployments need these ops ported to the Hadoop
+            # FileSystem API; the parquet reads/writes themselves are
+            # already URI-agnostic.)
+            raise NotImplementedError(
+                "CheckpointStore supports local/shared-POSIX paths only; "
+                f"got {workdir!r}"
+            )
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
 

@@ -36,7 +36,13 @@ def upsert_records(
     batch = df.dropDuplicates(natural_key)
     if os.path.exists(path):
         existing = spark.read.parquet(path).select(*natural_key)
-        batch = batch.join(existing, natural_key, "left_anti")
+        # null-safe equality: a NULL key component must still match itself,
+        # or NULL-keyed rows re-insert on every call and break idempotence
+        cond = None
+        for k in natural_key:
+            c = batch[k].eqNullSafe(existing[k])
+            cond = c if cond is None else cond & c
+        batch = batch.join(existing, cond, "left_anti")
     batch = batch.cache()
     n = batch.count()
     if n:

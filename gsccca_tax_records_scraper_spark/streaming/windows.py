@@ -27,10 +27,15 @@ def streaming_tumbling_metrics(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "metrics_stream",
+    output_mode: str = "update",
 ):
     """Streaming variant over a parquet directory source with a watermark
     for late rows; memory sink for inspection. Returns the StreamingQuery —
-    callers processAllAvailable() then read `SELECT * FROM <query_name>`."""
+    callers processAllAvailable() then read `SELECT * FROM <query_name>`.
+
+    output_mode='update' (default) honors the watermark and evicts closed
+    windows' state; 'complete' keeps all state forever (watermark ignored by
+    Spark in that mode) and is only for small inspection runs."""
     events = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(parquet_dir)
     )
@@ -43,7 +48,7 @@ def streaming_tumbling_metrics(
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

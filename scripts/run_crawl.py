@@ -6,8 +6,13 @@ Cluster usage (north_star: multi-executor via --py-files):
     cd /root/repo && zip -r /tmp/engine.zip gsccca_tax_records_scraper_spark
     spark-submit --py-files /tmp/engine.zip \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
-        scripts/run_crawl.py --workdir hdfs://.../crawl --seeds 0-158 \
+        scripts/run_crawl.py --workdir /shared/crawl --seeds 0-158 \
         --epoch-seconds 400
+
+The workdir must be a driver-visible POSIX path (local or shared mount):
+the checkpoint manifest is maintained through the local filesystem, and
+CheckpointStore rejects hdfs://-style URIs until those ops are ported to
+the Hadoop FileSystem API.
 
 Local sandbox usage:
 

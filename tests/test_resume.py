@@ -34,6 +34,28 @@ def test_resume_bit_identity(spark, tmp_path):
         assert _table_key(a, table) == _table_key(b2, table), table
 
 
+def test_zero_grant_epoch_carries_tokens(spark, tmp_path):
+    """epoch_seconds so small that budget floors to 0: the engine must keep
+    committing token-accrual epochs (like the simulator), not abandon the
+    frontier. rate 0.25/s x 2s = 0.5 tokens -> grant on every 2nd epoch."""
+    from gsccca_tax_records_scraper_spark.simulator import simulate_crawl
+
+    eng = CrawlEngine(spark, tmp_path / "z", epoch_seconds=2.0)
+    eng.bootstrap([7])
+    m1 = eng.step()
+    assert m1 is not None and m1["granted"] == 0  # 0.5 tokens accrued
+    m2 = eng.step()
+    assert m2 is not None and m2["granted"] == 1  # 1.0 tokens -> one grant
+    # first 12 epochs reproduce the simulator's zero-grant-epoch cadence
+    eng.run(max_epochs=10)
+    sim = simulate_crawl([7], epoch_seconds=2.0, max_epochs=12)
+    got = {}
+    for r in eng.records().collect():
+        got.setdefault(r.epoch, []).append(r.url)
+    for e in range(1, 13):
+        assert sorted(got.get(e, [])) == sorted(sim.grant_order[e - 1]), e
+
+
 def test_partial_write_ignored(spark, tmp_path):
     """An uncommitted epoch dir (crash mid-write) must not poison resume."""
     eng = CrawlEngine(spark, tmp_path / "c", epoch_seconds=60.0)

@@ -27,6 +27,17 @@ def test_upsert_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_upsert_null_keys_idempotent(spark, tmp_path):
+    path = str(tmp_path / "nullkeys")
+    df = spark.createDataFrame(
+        [(1, None, "x"), (None, None, "y")], "k1 int, k2 string, payload string"
+    )
+    assert sinks.upsert_records(spark, df, path, ["k1", "k2"]) == 2
+    # NULL key components must still match themselves on re-run
+    assert sinks.upsert_records(spark, df, path, ["k1", "k2"]) == 0
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_export_single_file_pads_and_renames(spark, tmp_path):
     path = str(tmp_path / "export")
     df = spark.createDataFrame([(1, None)], "a int, b string")

@@ -31,8 +31,11 @@ def test_streaming_window_agg_matches_batch(spark, sf001, tmp_path):
     # the file streaming source wants a directory; stage the table into one
     src = str(tmp_path / "events_dir")
     events.repartition(8).write.parquet(src)
+    # complete mode for the inspection sink: every trigger rewrites the full
+    # result, so the memory table equals the final aggregation
     q = streaming_tumbling_metrics(
         spark, src, events.schema, "1 hour", query_name="metrics_stream_test",
+        output_mode="complete",
     )
     try:
         q.processAllAvailable()
