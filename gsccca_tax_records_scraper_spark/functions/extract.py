@@ -47,16 +47,28 @@ PARTY_DIRECT_RE = re.compile(r'<table class="party direct"><tr><td>([^<]*)</td><
 PARTY_REVERSE_RE = re.compile(r'<table class="party reverse"><tr><td>([^<]*)</td></tr></table>')
 TOTAL_DUE_RE = re.compile(r"TOTAL DUE:\s*[$§]?\s*([\d,]+(?:\.\d{1,2})?)")
 
-# keyword weights for money-candidate scoring (ocr/ocr_tax_extractor.py:451-462)
+# keyword weights for money-candidate scoring — verbatim copy of the
+# reference importance_keywords table (ocr/ocr_tax_extractor.py:451-462)
 SCORE_KEYWORDS: list[tuple[str, float]] = [
     ("TOTAL DUE", 12.0),
-    ("TOTAL", 8.0),
+    ("TOTAL LIEN", 10.0),
+    ("TOTAL AMOUNT", 10.0),
+    ("TOTAL", 10.0),
+    ("BALANCE DUE", 10.0),
     ("BALANCE", 6.0),
-    ("AMOUNT DUE", 6.0),
+    ("PAID AMOUNT", 8.0),
+    ("PAID", 4.0),
     ("DUE", 4.0),
-    ("INTEREST", 3.0),
     ("TAX", 2.0),
 ]
+# money-with-$ / bare-decimal (ocr_tax_extractor.py:43,49)
+DOLLAR_MONEY_RE = re.compile(r"\$\s*[\d,]+(?:\.\d{1,2})?")
+DECIMAL_RE = re.compile(r"[\d,]+\.\d{2}")
+
+
+def normalize_spaces(s: str) -> str:
+    """Collapse runs of spaces/tabs (realestate_ocr_extractor.py:137-138)."""
+    return re.sub(r"[ \t]+", " ", s or "").strip()
 
 
 def normalize_money(raw: str) -> float | None:
@@ -68,27 +80,268 @@ def normalize_money(raw: str) -> float | None:
 
 
 def fix_ocr_noise(text: str) -> str:
-    """`§`->`$`, `S<digit>`->`$<digit>` OCR fixups (ocr_tax_extractor.py:470-471)."""
-    return re.sub(r"S(?=\d)", "$", text.replace("§", "$"))
+    """`§`->`$`, word-initial `S` (optional space) before a digit -> `$`
+    OCR fixups (ocr_tax_extractor.py:470-471)."""
+    return re.sub(r"\bS\s*(?=\d)", "$", text.replace("§", "$"))
 
 
 def score_money_candidates(ocr_text: str) -> list[tuple[float, str]]:
-    """Score each money candidate by the keyword weights of its line plus a
-    value/1000 bias; return (score, raw) sorted desc (ocr_tax_extractor.py:
-    436-555). Top-3 is taken by the caller (O3)."""
-    fixed = fix_ocr_noise(ocr_text)
+    """Score each `$`-money candidate by the keyword weights of its line plus
+    a value/1000 bias; when no `$`-amount >= 100 exists, recover bare decimals
+    from TOTAL lines with a +5.0 boost (the fallback path). Returns
+    (score, raw) sorted by (-score, raw); top-3 is taken by the caller (O3).
+    Mirrors extract_amounts (ocr_tax_extractor.py:436-555) line-for-line,
+    except ties sort by raw (deterministic) instead of insertion order."""
     out: list[tuple[float, str]] = []
-    for line in fixed.splitlines():
-        upper = line.upper()
-        for m in MONEY_RE.finditer(line):
-            val = normalize_money(m.group(1))
-            if val is None:
-                continue
+    has_big_dollar = False
+    for line in (ocr_text or "").splitlines():
+        raw_line = line.strip()
+        if not raw_line:
+            continue
+        upper = raw_line.upper()
+        norm_line = fix_ocr_noise(raw_line)
+        for m in DOLLAR_MONEY_RE.finditer(norm_line):
+            raw = m.group().replace(" ", "")
+            val = normalize_money(raw)
             score = sum(w for kw, w in SCORE_KEYWORDS if kw in upper)
+            if val is not None:
+                score += val / 1000.0
+                if raw.startswith("$") and val >= 100.0:
+                    has_big_dollar = True
+            out.append((round(score, 3), raw))
+    # fallback: TOTAL-without-$ recovery (ocr_tax_extractor.py:500-544)
+    if not has_big_dollar:
+        for line in (ocr_text or "").splitlines():
+            raw_line = line.strip()
+            if not raw_line:
+                continue
+            upper = raw_line.upper()
+            if "TOTAL" not in upper:
+                continue
+            nums = [
+                (v, m.group(0))
+                for m in DECIMAL_RE.finditer(raw_line)
+                if (v := normalize_money(m.group(0))) is not None
+            ]
+            if not nums:
+                continue
+            val, raw = max(nums, key=lambda t: t[0])
+            score = sum(w for kw, w in SCORE_KEYWORDS if kw in upper)
+            score += 5.0  # boost for TOTAL-without-$ recovery
             score += val / 1000.0
-            out.append((score, m.group(1)))
+            out.append((round(score, 3), raw))
     out.sort(key=lambda t: (-t[0], t[1]))
     return out
+
+
+# --------------------------------------------------- date/name cascades (F5/F6)
+# Pattern vocabulary mirrors ocr/realestate_ocr_extractor.py:23-66 verbatim
+# (required semantic parity). Every pattern is RE2-compatible (no lookaround)
+# so the same regex strings drive the Java-regex Column versions below AND the
+# DuckDB oracle SQL in __spark_entry__.py.
+
+MONTH_DATE_PAT = (
+    r"\b(Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|"
+    r"Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\s+"
+    r"(\d{1,2})(?:st|nd|rd|th)?\s*,\s*(\d{4})\b"
+)
+NUMERIC_DATE_PAT = r"\b(\d{1,2})[/-](\d{1,2})[/-](\d{2,4})\b"
+FILED_RECORDED_PAT = (
+    r"(Filed\s+and\s+Recorded|Filed\s*&\s*Recorded)\s+(.{0,60}?\b\d{4}\b)"
+)
+MORTGAGE_DATE_PATS = [
+    r"\bmade\s+this\s+(.{0,40}?\b\d{4}\b)",
+    r"\bdated\s+(.{0,40}?\b\d{4}\b)",
+    r"\beffective\s+the\s+(.{0,40}?\b\d{4}\b)",
+]
+NAME_PATS = [
+    r"\bBorrower(?:s)?\b\s*[:\-]?\s*(.+)",
+    r"\bmade\s+this\s+.+?\b,\s*(.+?)\s*\(\s*\"?Borrower",
+    r"\b(.*?)\s*\(\s*\"?Borrower",
+]
+LENDER_PATS = [
+    r"\b(?:Lender|Mortgagee)\b\s*[:\-]?\s*(.+)",
+    r"\bin\s+favor\s+of\s+(.+?)(?:,|\.)",
+    r"\bto\s+(.+?)\s*\(\s*\"?Lender\"?\s*\)",
+]
+_MONTH_DATE_RE = re.compile(MONTH_DATE_PAT, re.I)
+_NUMERIC_DATE_RE = re.compile(NUMERIC_DATE_PAT)
+_FILED_RECORDED_RE = re.compile(FILED_RECORDED_PAT, re.I)
+_MORTGAGE_DATE_RES = [re.compile(p, re.I) for p in MORTGAGE_DATE_PATS]
+_NAME_RES = [re.compile(p, re.I) for p in NAME_PATS]
+_LENDER_RES = [re.compile(p, re.I) for p in LENDER_PATS]
+_NAME_CLEAN_RE = re.compile(r'["\(\)\n\r]')
+_LENDER_CLEAN_RE = re.compile(r"[\n\r\.]")
+
+
+def find_first_date(text: str) -> str:
+    """Month-name date first, numeric date second
+    (realestate_ocr_extractor.py:154-162)."""
+    t = text or ""
+    m = _MONTH_DATE_RE.search(t)
+    if m:
+        return normalize_spaces(m.group(0))
+    m = _NUMERIC_DATE_RE.search(t)
+    if m:
+        return normalize_spaces(m.group(0))
+    return ""
+
+
+def extract_assignment_date(header_text: str) -> str:
+    """'Filed and Recorded <fragment>' date, falling back to the fragment
+    itself, then to the first date anywhere (realestate_ocr_extractor.py:
+    164-173)."""
+    if not header_text:
+        return ""
+    m = _FILED_RECORDED_RE.search(header_text)
+    if m:
+        frag = m.group(0)
+        return find_first_date(frag) or normalize_spaces(frag)
+    return find_first_date(header_text)
+
+
+def extract_mortgage_date(body_text: str) -> str:
+    """made this / dated / effective-the cue cascade with first-date fallback
+    (realestate_ocr_extractor.py:175-185)."""
+    if not body_text:
+        return ""
+    for rx in _MORTGAGE_DATE_RES:
+        m = rx.search(body_text)
+        if m:
+            cand = m.group(1)
+            return find_first_date(cand) or normalize_spaces(cand)
+    return find_first_date(body_text)
+
+
+def extract_name(body_text: str) -> str:
+    """Borrower-name priority cascade + cleanup split + [:120] truncation
+    (realestate_ocr_extractor.py:187-199)."""
+    t = body_text or ""
+    for rx in _NAME_RES:
+        m = rx.search(t)
+        if m:
+            name = _NAME_CLEAN_RE.split(m.group(1))[0]
+            return normalize_spaces(name)[:120]
+    m = re.search(r"\bBorrower(?:s)?\b.{0,60}", t, re.I)
+    if m:
+        return normalize_spaces(m.group(0))[:120]
+    return ""
+
+
+def extract_lender(body_text: str) -> str:
+    """Lender priority cascade + cleanup split + [:140] truncation
+    (realestate_ocr_extractor.py:201-213)."""
+    t = body_text or ""
+    for rx in _LENDER_RES:
+        m = rx.search(t)
+        if m:
+            lender = _LENDER_CLEAN_RE.split(m.group(1))[0]
+            return normalize_spaces(lender)[:140]
+    m = re.search(r"([A-Z][A-Za-z0-9&\-,\. ]{3,120})\s*\(\s*Lender\s*\)", t, re.I)
+    if m:
+        return normalize_spaces(m.group(1))[:140]
+    return ""
+
+
+# -------------------------------------------- cascade Column versions (JVM side)
+# The same pattern strings as Catalyst expressions: coalesce over a priority
+# list of regexp_extract, whole-stage-codegen'd — no Python in the hot path.
+
+def _fcol():
+    from pyspark.sql import functions as F  # local import: pandas-only callers
+
+    return F
+
+
+def _norm_spaces_col(c):
+    F = _fcol()
+    return F.trim(F.regexp_replace(c, r"[ \t]+", " "))
+
+
+def _first_nonempty(*cols):
+    F = _fcol()
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in cols], F.lit(""))
+
+
+def first_date_col(text):
+    """find_first_date as a Column (month-name priority, numeric fallback)."""
+    F = _fcol()
+    return _first_nonempty(
+        _norm_spaces_col(F.regexp_extract(text, f"(?i){MONTH_DATE_PAT}", 0)),
+        _norm_spaces_col(F.regexp_extract(text, NUMERIC_DATE_PAT, 0)),
+    )
+
+
+def assignment_date_col(text):
+    """extract_assignment_date as a Column."""
+    F = _fcol()
+    frag = F.regexp_extract(text, f"(?i){FILED_RECORDED_PAT}", 0)
+    return F.when(
+        frag != "", _first_nonempty(first_date_col(frag), _norm_spaces_col(frag))
+    ).otherwise(first_date_col(text))
+
+
+def mortgage_date_col(text):
+    """extract_mortgage_date as a Column: one WHEN branch per cue pattern in
+    priority order, first-date fallback."""
+    F = _fcol()
+    c0 = F.regexp_extract(text, f"(?i){MORTGAGE_DATE_PATS[0]}", 1)
+    c1 = F.regexp_extract(text, f"(?i){MORTGAGE_DATE_PATS[1]}", 1)
+    c2 = F.regexp_extract(text, f"(?i){MORTGAGE_DATE_PATS[2]}", 1)
+    return (
+        F.when(c0 != "", _first_nonempty(first_date_col(c0), _norm_spaces_col(c0)))
+        .when(c1 != "", _first_nonempty(first_date_col(c1), _norm_spaces_col(c1)))
+        .when(c2 != "", _first_nonempty(first_date_col(c2), _norm_spaces_col(c2)))
+        .otherwise(first_date_col(text))
+    )
+
+
+def _priority_pick_col(text, pats, clean, fb_pat, fb_group, width):
+    """Reference cascade semantics as a Column: the FIRST pattern that MATCHES
+    wins, even when its cleaned capture is empty (the reference returns the
+    cleaned-possibly-empty string and stops). Match is tested with rlike, so
+    no-match and matched-but-empty are distinguished."""
+    F = _fcol()
+    out = None
+    for p in pats:
+        pat = f"(?i){p}"
+        branch = clean(F.regexp_extract(text, pat, 1))
+        cond = text.rlike(pat)
+        out = F.when(cond, branch) if out is None else out.when(cond, branch)
+    fallback = F.substring(
+        _norm_spaces_col(F.regexp_extract(text, fb_pat, fb_group)), 1, width
+    )
+    return out.otherwise(fallback)
+
+
+def name_col(text):
+    """extract_name as a Column: priority regexes, cleanup split (take the
+    prefix before any of ["()\\n\\r]), truncate to 120."""
+    F = _fcol()
+
+    def clean(c):
+        return F.substring(
+            _norm_spaces_col(F.regexp_extract(c, r'^([^"\(\)\n\r]*)', 1)), 1, 120
+        )
+
+    return _priority_pick_col(
+        text, NAME_PATS, clean, r"(?i)\bBorrower(?:s)?\b.{0,60}", 0, 120
+    )
+
+
+def lender_col(text):
+    """extract_lender as a Column (cleanup split on [\\n\\r.], truncate 140)."""
+    F = _fcol()
+
+    def clean(c):
+        return F.substring(
+            _norm_spaces_col(F.regexp_extract(c, r"^([^\n\r\.]*)", 1)), 1, 140
+        )
+
+    return _priority_pick_col(
+        text, LENDER_PATS, clean,
+        r"(?i)([A-Z][A-Za-z0-9&\-,\. ]{3,120})\s*\(\s*Lender\s*\)", 1, 140,
+    )
 
 
 # ------------------------------------------------------------- single-doc path

@@ -2,8 +2,8 @@
 
 Reference: ocr/addr.py:46-66 `merge_address_lists` — for each tesseract
 address, find the first paddle address containing the same zipcode ("crude
-similarity: zip match"), then token-level union merge (:11-43: keep the base
-address, append the tokens of the other that the base doesn't contain).
+similarity: zip match"), then token-level union merge (:11-43: the longer
+address becomes the base, the other's missing tokens are appended).
 
 Spark shape: zipcode is the equi key, containment is the theta residual ->
 cogroup the two sides on (doc_id) and merge inside an applyInPandas body
@@ -25,15 +25,29 @@ def _zip_of(addr: str) -> str | None:
     return m.group(1) if m else None
 
 
-def merge_address_pair(base: str, other: str) -> str:
-    """Token-union merge (ocr/addr.py:11-43): keep base, append tokens of
-    `other` missing from base's token set, in `other`'s order."""
-    base_tokens = base.split()
-    seen = {t.upper().strip(",.") for t in base_tokens}
-    extra = [
-        t for t in other.split() if t.upper().strip(",.") not in seen
-    ]
-    return " ".join(base_tokens + extra) if extra else base
+def _normalize_for_compare(text: str) -> list[str]:
+    """Uppercase + collapse commas/whitespace, for comparison only
+    (ocr/addr.py:4-9)."""
+    return re.sub(r"[,\s]+", " ", text.upper()).strip().split()
+
+
+def merge_address_pair(addr1: str, addr2: str) -> str:
+    """Token-union merge (ocr/addr.py:11-43): the LONGER (more detailed)
+    address becomes the base; tokens of the other that the base's normalized
+    token set lacks are appended in the other's order. Token normalization
+    strips commas anywhere (periods kept), matching the reference."""
+    tokens1 = _normalize_for_compare(addr1)
+    tokens2 = _normalize_for_compare(addr2)
+    if len(tokens2) > len(tokens1):
+        base, other, base_tokens = addr2, addr1, tokens2
+    else:
+        base, other, base_tokens = addr1, addr2, tokens1
+    merged = base.split()
+    base_set = set(base_tokens)
+    for token in other.split():
+        if re.sub(r"[,\s]+", "", token).upper() not in base_set:
+            merged.append(token)
+    return " ".join(merged)
 
 
 def merge_address_lists(primary: list[str], secondary: list[str]) -> list[str]:

@@ -53,3 +53,92 @@ def scored_top_amounts(
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _kw_score_col(upper):
+    """Additive keyword score of an UPPER-cased line (ocr_tax_extractor.py:
+    451-462,483-485): every table keyword contained in the line adds its
+    weight (so a 'TOTAL DUE' line scores TOTAL DUE + TOTAL + DUE)."""
+    s = F.lit(0.0)
+    for kw, w in extract.SCORE_KEYWORDS:
+        s = s + F.when(upper.contains(kw), F.lit(w)).otherwise(F.lit(0.0))
+    return s
+
+
+def money_scored_topk_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Pure-Column (no Python UDF) version of the A2 money scorer, including
+    the reference's TOTAL-without-$ fallback (ocr_tax_extractor.py:436-555):
+
+      primary   per line: OCR fixups (§->$, word-initial S<digit> -> $),
+                every $-amount scored = keyword weights + value/1000
+      fallback  docs with no $-candidate >= 100: the max bare decimal of each
+                TOTAL line joins the pool with a +5.0 boost
+      top-k     row_number per doc over (score desc, raw asc)
+
+    Whole plan is JVM-side: split/explode + regexp + window. One shuffle for
+    the has-big-dollar aggregate, one for the final per-doc window."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line0"),
+        )
+        .select("doc_id", "line_no", F.trim("line0").alias("line"))
+        .filter(F.col("line") != "")
+        .withColumn("upper", F.upper("line"))
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("line"), "§", "\\$"), r"\bS\s*(\d)", "\\$$1"
+    )
+    prim = (
+        lines.select(
+            "doc_id", "upper",
+            F.explode(F.regexp_extract_all(norm, F.lit(r"(\$\s*[\d,]+(?:\.\d{1,2})?)"), 1)).alias("m"),
+        )
+        .select("doc_id", "upper", F.regexp_replace("m", " ", "").alias("raw"))
+        .withColumn("numeric", F.regexp_replace("raw", r"[$,]", "").cast("double"))
+        .withColumn(
+            "score",
+            F.round(
+                _kw_score_col(F.col("upper"))
+                + F.coalesce(F.col("numeric") / 1000.0, F.lit(0.0)),
+                3,
+            ),
+        )
+    )
+    # prim is consumed twice (has_big + pool); it's a cheap regex scan, so
+    # recomputation beats leaking a persist into the caller's session
+    has_big = prim.groupBy("doc_id").agg(
+        F.max(F.when(F.col("numeric") >= 100.0, 1).otherwise(0)).alias("big")
+    )
+    fb_lines = lines.filter(F.col("upper").contains("TOTAL")).join(
+        has_big.filter(F.col("big") == 1).select("doc_id"), "doc_id", "left_anti"
+    )
+    decs = fb_lines.select(
+        "doc_id", "line_no", "upper",
+        F.explode(
+            F.regexp_extract_all(F.col("line"), F.lit(r"([\d,]+\.\d{2})"), 1)
+        ).alias("d"),
+    ).withColumn("v", F.regexp_replace("d", ",", "").cast("double"))
+    fb = (
+        decs.groupBy("doc_id", "line_no", "upper")
+        .agg(F.max(F.struct(F.col("v"), F.col("d"))).alias("mx"))
+        .select(
+            "doc_id", "upper",
+            F.col("mx.d").alias("raw"),
+            F.col("mx.v").alias("numeric"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                _kw_score_col(F.col("upper")) + F.lit(5.0) + F.col("numeric") / 1000.0,
+                3,
+            ),
+        )
+    )
+    pool = prim.select("doc_id", "raw", "score").unionByName(
+        fb.select("doc_id", "raw", "score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("raw"))
+    return pool.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

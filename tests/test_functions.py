@@ -78,7 +78,9 @@ def test_money_normalization():
 def test_ocr_noise_fixups():
     assert extract.fix_ocr_noise("TOTAL DUE: §1,200.00") == "TOTAL DUE: $1,200.00"
     assert extract.fix_ocr_noise("PAID S500") == "PAID $500"
+    assert extract.fix_ocr_noise("PAID S 500") == "PAID $500"  # optional space consumed
     assert extract.fix_ocr_noise("SOUTH ST") == "SOUTH ST"  # S before letter untouched
+    assert extract.fix_ocr_noise("US1 HIGHWAY") == "US1 HIGHWAY"  # \bS only (word-initial)
 
 
 def test_money_scoring_weights_and_topk():
@@ -89,10 +91,25 @@ def test_money_scoring_weights_and_topk():
         "RANDOM $2.00\n"
     )
     scored = extract.score_money_candidates(text)
-    # TOTAL DUE keyword (12) + TOTAL (8) + DUE (4) + 1.0 bias wins
-    assert scored[0][1] == "1,000.00"
+    # TOTAL DUE keyword (12) + TOTAL (10) + DUE (4) + 1.0 bias wins
+    assert scored[0][1] == "$1,000.00"
+    assert scored[0][0] == pytest.approx(27.0)
     top3 = [raw for _, raw in scored[:3]]
-    assert "2.00" not in top3
+    assert "$2.00" not in top3
+
+
+def test_money_scoring_fallback_total_without_dollar():
+    # mirrors ocr_tax_extractor.py:500-544: no $-amount >= 100 -> bare
+    # decimals on TOTAL lines are recovered with a +5.0 boost
+    text = "PAID $50.00\nTOTAL LIEN 1,234.50 open\nnoise 77.10\n"
+    scored = extract.score_money_candidates(text)
+    # fallback candidate: TOTAL LIEN(10) + TOTAL(10) + 5.0 + 1.2345
+    assert scored[0] == (pytest.approx(26.234, abs=1e-3), "1,234.50")
+    # non-TOTAL bare decimals are NOT recovered
+    assert all(raw != "77.10" for _, raw in scored)
+    # a big $ amount suppresses the fallback entirely
+    scored2 = extract.score_money_candidates("PAID $500.00\nTOTAL 1,234.50\n")
+    assert all(raw != "1,234.50" for _, raw in scored2)
 
 
 def test_parse_detail_single_vs_vectorized_parity():

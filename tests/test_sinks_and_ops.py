@@ -69,11 +69,22 @@ def test_read_latest_export(spark, tmp_path):
 # --------------------------------------------------------------- J4 merge
 
 def test_merge_address_pair_token_union():
-    # mirrors ocr/addr.py:11-43 semantics
+    # mirrors ocr/addr.py:11-43 semantics: the LONGER address is the base
     a = "123 MAIN ST ATLANTA GA 30303"
     b = "123 MAIN ST SUITE 4 ATLANTA GA 30303"
-    assert addrmerge.merge_address_pair(a, b) == "123 MAIN ST ATLANTA GA 30303 SUITE 4"
+    assert addrmerge.merge_address_pair(a, b) == b  # b longer -> base
+    assert addrmerge.merge_address_pair(b, a) == b  # order-insensitive base pick
     assert addrmerge.merge_address_pair(a, a) == a
+    # shorter secondary still contributes its unseen tokens
+    assert (
+        addrmerge.merge_address_pair("123 MAIN ST ATLANTA GA 30303", "SUITE 4")
+        == "123 MAIN ST ATLANTA GA 30303 SUITE 4"
+    )
+    # comma stripped anywhere in a token for comparison; periods NOT stripped
+    assert (
+        addrmerge.merge_address_pair("1 ELM ST ATLANTA GA", "ATLAN,TA N.E.")
+        == "1 ELM ST ATLANTA GA N.E."
+    )
 
 
 def test_merge_address_lists_zip_first_match():
@@ -83,8 +94,8 @@ def test_merge_address_lists_zip_first_match():
         "OTHER 31201 THING EXTRA",
     ]
     merged = addrmerge.merge_address_lists(primary, secondary)
-    # first zip match wins (ordered), unmatched passes through
-    assert merged[0] == "5 OAK AVE MACON GA 31201 APT 2"
+    # first zip match wins (ordered; longer side is base), unmatched passes
+    assert merged[0] == "5 OAK AVE APT 2 MACON GA 31201"
     assert merged[1] == primary[1]
 
 
@@ -98,7 +109,7 @@ def test_merge_addresses_cogrouped(spark):
         "doc_id string, ord int, addr string",
     )
     out = {r.doc_id: r.merged for r in addrmerge.merge_addresses(primary, secondary).collect()}
-    assert out["d1"] == "5 OAK AVE MACON GA 31201 APT 2"
+    assert out["d1"] == "5 OAK AVE APT 2 MACON GA 31201"
     assert out["d2"] == "1 ELM ST X GA 30000"  # no secondary side at all
 
 
@@ -126,4 +137,4 @@ def test_scored_top_amounts_total_due_wins(spark):
         "doc_id string, txt string",
     )
     top = scoring.scored_top_amounts(df, "txt", "doc_id", k=1).first()
-    assert top.raw == "10.00"  # keyword weight beats raw magnitude
+    assert top.raw == "$10.00"  # keyword weight beats raw magnitude
