@@ -412,12 +412,14 @@ def q_rank_cap(spark, sf):
     " QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) <= 10",
 )
 def q_global_topk(spark, sf):
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    # heaps + a bounded merge — no single-task global sort (a window over an
+    # unpartitioned ORDER BY would sort the whole table in one task)
     o = _t(spark, sf, "orders")
-    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select("o_orderkey", "o_totalprice")
+        .limit(10)
     )
 
 
@@ -1006,7 +1008,7 @@ def q_simhash(spark, sf):
 )
 def q_simhash_hist(spark, sf):
     fps = textdedup.simhash_fingerprints(_t(spark, sf, "documents"), bits=SIMHASH_BITS)
-    pairs = textdedup.simhash_near_pairs(fps, max_hamming=2)
+    pairs = textdedup.simhash_near_pairs(fps, max_hamming=2, bits=SIMHASH_BITS)
     return pairs.groupBy(F.col("hamming").alias("hd")).agg(F.count("*").alias("n_pairs"))
 
 

@@ -70,6 +70,7 @@ def ngram_overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = DEFAULT_SHINGLE_K,
+    max_df: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= min_common distinct k-shingles.
     One explode + one self-equi-join on the shingle + one pair aggregation."""
@@ -77,10 +78,19 @@ def ngram_overlap_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
-    # frequency pruning: shingles held by a single doc can't form a pair —
-    # drop them before the self-join (result-identical; at corpus scale this
-    # is the difference between a bounded and an unbounded join fan-out)
-    shared = ex.groupBy("sh").agg(F.count("*").alias("__n")).filter(F.col("__n") >= 2)
+    # frequency pruning, both ends (the bounded-fan-out guarantee at corpus
+    # scale): shingles held by a single doc can't form a pair, and shingles
+    # held by more than max_df docs are stop-shingles — a single shingle in
+    # 10^6 docs would emit ~10^12 join pairs, so the join fan-out must be
+    # capped at max_df^2 per shingle. The low cut is result-identical; the
+    # high cut drops only pairs whose sole evidence is stop-shingles
+    # (max_df=64 sits far above the observed max df at the test scales:
+    # 7 @sf0.01, 25 @sf0.1 — result-identical there).
+    shared = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
+    )
     ex = ex.join(shared.select("sh"), "sh", "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     return (
@@ -165,19 +175,52 @@ def simhash_fingerprints(
     return wide.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
-    """Pairs within hamming distance; brute pair compare (bucket by the top
-    byte first at scale — here the corpus fits a single compare stage)."""
-    a, b = fingerprints.alias("a"), fingerprints.alias("b")
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int, bits: int = 16
+) -> DataFrame:
+    """Pairs within hamming distance, via pigeonhole banding: split the
+    fingerprint into max_hamming+1 bit-bands — two fingerprints within
+    hamming h MUST agree exactly on at least one band — equi-join on
+    (band, band_value), verify the true hamming, distinct. Result-identical
+    to the all-pairs compare but LSH-shaped: no cartesian/theta join, fan-out
+    bounded by band-bucket sizes (plus singleton-bucket pruning)."""
+    nb = max_hamming + 1
+    sizes = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(sizes[:i]) for i in range(nb)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), offs[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(nb)
+        ]
+    )
+    ex = fingerprints.select(
+        "doc_id", "simhash", F.explode(bands).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    shared = (
+        ex.groupBy("band", "val").agg(F.count("*").alias("__n")).filter(F.col("__n") >= 2)
+    )
+    ex = ex.join(shared.select("band", "val"), ["band", "val"], "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -84,6 +84,25 @@ def test_grant_has_no_full_host_window(spark, tmp_path):
     assert not specs[1].split(",")[0].startswith("host_bucket")
 
 
+def test_global_topk_is_take_ordered(spark, sf01):
+    """global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a row_number window over an unpartitioned ORDER BY (single-task
+    global sort)."""
+    df = entrymod.queries()["global_topk"](spark, sf01)
+    plan = explain(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_simhash_near_pairs_not_cartesian(spark, sf01):
+    """the banded simhash join must be a hash equi-join on (band, value) —
+    no cartesian/nested-loop theta join (the O(N^2) scale-killer)."""
+    df = entrymod.queries()["simhash_hamming_hist"](spark, sf01)
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scan_partition_count_respects_input(spark, sf01):
     li = spark.read.parquet(f"{sf01}/lineitem.parquet")
     # 600k rows in a single small file: must not explode into tiny tasks
