@@ -113,18 +113,21 @@ def crawl_workloads(cores: int) -> dict:
                 F.col("crawl_order.link_order").alias("link_order"),
             ).mapInPandas(_fetch_parse, _FETCH_SCHEMA)
         )
-        wn, ws = dedup_candidates(warm, None, None, 0)
+        wn, ws, wh = dedup_candidates(warm, None, None, 0)
         _noop_write(wn)
         _noop_write(ws)
-        wn.unpersist()
+        for h in wh:
+            h.unpersist()
 
         # ---- setup (untimed): build a 1M-url seen set ----------------------
         seen_cands = _synth_candidates(spark, N_SEEN, start=0)
-        new0, state0 = dedup_candidates(seen_cands, None, None, 0)
+        new0, state0, h0 = dedup_candidates(seen_cands, None, None, 0)
         new0.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/seen_exact")
         state0.write.mode("overwrite").parquet(f"{tmp}/seen_state")
+        for h in h0:
+            h.unpersist()
         seen_exact = spark.read.parquet(f"{tmp}/seen_exact")
         seen_state = spark.read.parquet(f"{tmp}/seen_state")
 
@@ -132,29 +135,33 @@ def crawl_workloads(cores: int) -> dict:
         # (~20% historically per /proc/stat, in multi-minute windows), min
         # over repeats damps the noise
         t_dedup, t_fetch = float("inf"), float("inf")
+        # the fetch input is materialized (cached + counted) OUTSIDE the
+        # timed region: the timed section measures fetch+parse throughput,
+        # not the synthetic row generator + repartition shuffle
         granted = _synth_candidates(spark, N_PAGES, start=0).select(
             "url_id", "url",
             F.col("crawl_order.seed_id").alias("seed_id"),
             F.col("crawl_order.page").alias("page"),
             F.col("crawl_order.depth").alias("depth"),
             F.col("crawl_order.link_order").alias("link_order"),
-        ).repartition(max(cores * 2, 8))
+        ).repartition(max(cores * 2, 8)).persist()
+        granted.count()
         for _ in range(3):
-            spark.catalog.clearCache()
             # timed: dedup N_CAND candidates, 50% already in the seen set
             # (steady-state crawls are dup-heavy, so the bloom-positive +
             # exact-resolve path must be a real share of the measurement)
             cands = _synth_candidates(spark, N_CAND, start=0)
             t0 = time.monotonic()
-            new1, state1 = dedup_candidates(cands, seen_exact, seen_state, 1)
+            new1, state1, h1 = dedup_candidates(cands, seen_exact, seen_state, 1)
             _noop_write(new1)
             _noop_write(state1)
             t_dedup = min(t_dedup, time.monotonic() - t0)
+            for h in h1:
+                h.unpersist()
             # timed: fetch + parse N_PAGES urls
             t0 = time.monotonic()
             _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
             t_fetch = min(t_fetch, time.monotonic() - t0)
-        spark.catalog.clearCache()
 
     spark.stop()
     return {

@@ -104,3 +104,59 @@ def host_series(urls: pd.Series) -> pd.Series:
 def extract_hrefs_series(html_texts: pd.Series) -> pd.Series:
     """Series[str html] -> Series[list[str] hrefs], document order preserved."""
     return html_texts.map(extract_raw_hrefs)
+
+
+def canonicalize_frame(base_urls: pd.Series, raw_hrefs: pd.Series) -> pd.Series:
+    """Vectorized canonicalize (strip + html.unescape + urljoin). The three
+    href shapes that dominate any crawl — absolute http(s), root-relative
+    `/path`, scheme-relative `//host/path` — resolve with pure pandas .str
+    ops (each is exactly RFC-3986 urljoin for that shape); only the residue
+    (relative paths, `?query`, fragments) falls back to per-row urljoin.
+    Result-identical to `canonicalize` row-by-row (tested)."""
+    s = raw_hrefs.str.strip()
+    amp = s.str.contains("&", regex=False).to_numpy(dtype=bool)
+    if amp.any():
+        # html.unescape only where an entity can exist; leftmost-longest
+        # entity semantics make chained str.replace unsafe (&amp;lt; -> &lt;)
+        s = s.copy()
+        s[amp] = s[amp].map(_html.unescape)
+    out = pd.Series(index=s.index, dtype="object")
+    absm = s.str.match(r"https?://").to_numpy(dtype=bool)
+    out[absm] = s[absm]
+    root = (s.str.startswith("/") & ~s.str.startswith("//")).to_numpy(dtype=bool)
+    if root.any():
+        origin = base_urls.str.extract(r"^([a-z][a-z0-9+.\-]*://[^/?#]+)", expand=False)
+        out[root] = origin[root] + s[root]
+    proto = s.str.startswith("//").to_numpy(dtype=bool)
+    if proto.any():
+        scheme = base_urls.str.extract(r"^([a-z][a-z0-9+.\-]*):", expand=False)
+        out[proto] = scheme[proto] + ":" + s[proto]
+    rest = out.isna().to_numpy(dtype=bool)
+    if rest.any():
+        out[rest] = [urljoin(b, h) for b, h in zip(base_urls[rest], s[rest])]
+    return out
+
+
+def extract_outlinks_frame(base_urls: pd.Series, html_texts: pd.Series) -> pd.Series:
+    """Series[str html] -> Series[list[str] canonical outlink urls] in
+    document order — the vectorized hot path of _fetch_parse. One
+    `extractall` over the whole Arrow batch + vectorized canonicalization;
+    no per-row regex/urljoin loop. Rows with no links get []."""
+    empty: pd.Series = pd.Series([[] for _ in range(len(html_texts))], index=html_texts.index)
+    if html_texts.empty:
+        return empty
+    m = html_texts.str.extractall(HREF_RE)
+    if m.empty:
+        return empty
+    href = m[0].fillna(m[1])
+    href = href[~href.str.startswith("javascript:").to_numpy(dtype=bool)]
+    if href.empty:
+        return empty
+    rows = href.index.get_level_values(0)
+    bases = base_urls.reindex(rows)
+    bases.index = href.index
+    canon = canonicalize_frame(bases, href)
+    # groupby on the original row label keeps match order within each row
+    lists = canon.groupby(level=0, sort=False).agg(list)
+    empty.update(lists)
+    return empty

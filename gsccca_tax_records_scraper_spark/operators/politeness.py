@@ -87,9 +87,25 @@ def grant(
     pending: DataFrame,
     budgets: DataFrame,
     epoch: int,
+    fan_in: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (granted_rows, host_state_after). Grant = first `budget`
-    pending rows per host in total crawl order, two-phase for skew."""
+    pending rows per host in total crawl order (exact FIFO parity with the
+    reference), computed skew-free as a fan-in tournament:
+
+      level 0   rank within (host, host_bucket), keep local_rank <= budget —
+                full parallelism over the salted buckets, provable superset.
+      level i   rank within (host, host_bucket // fan_in^i), keep <= budget —
+                each task merges at most fan_in * budget survivor rows.
+      final     rank within host alone over <= fan_in * budget rows.
+
+    No task ever sorts more than fan_in*budget rows (vs buckets*budget for a
+    single global per-host window — at cluster budgets of ~1e6 and 4096
+    buckets that would be ~4e9 rows in ONE task). Levels = log_fan(buckets),
+    each an exact keep-first-budget, so the composition is the exact
+    per-host top-budget."""
+    from ..functions.urltools import N_HOST_BUCKETS
+
     with_budget = pending.join(F.broadcast(budgets), "host", "inner")
 
     w_local = Window.partitionBy("host", "host_bucket").orderBy(*order_cols())
@@ -98,6 +114,17 @@ def grant(
         .filter(F.col("__lr") <= F.col("budget"))
         .drop("__lr")
     )
+    div = fan_in
+    while div < N_HOST_BUCKETS:
+        w_mid = Window.partitionBy(
+            "host", F.floor(F.col("host_bucket") / F.lit(div))
+        ).orderBy(*order_cols())
+        survivors = (
+            survivors.withColumn("__mr", F.row_number().over(w_mid))
+            .filter(F.col("__mr") <= F.col("budget"))
+            .drop("__mr")
+        )
+        div *= fan_in
     w_host = Window.partitionBy("host").orderBy(*order_cols())
     granted = (
         survivors.withColumn("__r", F.row_number().over(w_host))

@@ -56,6 +56,12 @@ class BlockedBloom:
         n_blocks = max(1, (capacity * bits_per_key + 511) // 512)
         return cls(int(n_blocks))
 
+    @property
+    def capacity(self) -> int:
+        """Design capacity at the default 16 bits/key (fpr stays healthy up
+        to here; beyond it the filter still works, fpr degrades)."""
+        return self.n_blocks * 512 // 16
+
     def _probes(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(word_idx[n,8], mask[n,8]) for a batch of uint64 ids."""
         ids = ids.astype(np.uint64, copy=False)

@@ -108,6 +108,51 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    base: DataFrame,
+    n_cells: int,
+    sample_n: int = 8192,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means on a deterministic sample: TakeOrdered by
+    xxhash64(id) pulls sample_n rows (per-partition heaps, no full sort at
+    any scale), then k-means++ init + Lloyd iterations with max-dot-product
+    assignment (the same metric `cell_of` uses) run driver-side in numpy.
+    Centroids are unit-normalized so dot == cosine."""
+    sample = (
+        base.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    # k-means++ seeding under angular distance (1 - cos)
+    cents = [x[rs.randint(len(x))]]
+    for _ in range(1, n_cells):
+        d = np.min(
+            [1.0 - x @ c for c in cents], axis=0
+        )
+        d = np.maximum(d, 0)
+        p = d / d.sum() if d.sum() > 0 else None
+        cents.append(x[rs.choice(len(x), p=p)])
+    c = np.array(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    c[j] = v / n
+    return c.tolist()
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -119,12 +164,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
 ) -> DataFrame:
-    """IVF-flat: seed centroids from deterministic random directions, assign
-    every vector to its nearest cell, probe the query's `nprobe` nearest
-    cells. Centroid table is tiny -> broadcast; the big side shuffles once on
-    cell assignment (and would be *stored* bucketed by cell at 100 TB)."""
-    cents = _random_planes(dim, n_cells, seed)
+    """IVF-flat: k-means-trained coarse centroids (pass `centroids` to reuse
+    a trained table, or train=False for the cheap random-direction seeding),
+    assign every vector to its nearest cell, probe the query's `nprobe`
+    nearest cells. Centroid table is tiny -> broadcast; the big side
+    shuffles once on cell assignment (and would be *stored* bucketed by cell
+    at 100 TB, making the probe a partition-pruned scan)."""
+    if centroids is not None:
+        cents = centroids
+    elif train:
+        cents = train_ivf_centroids(
+            base, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = _random_planes(dim, n_cells, seed)
 
     def cell_of(vec: Column) -> Column:
         best_id, best_val = None, None

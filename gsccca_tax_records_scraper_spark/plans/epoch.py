@@ -111,20 +111,12 @@ def _fetch_parse(it):
             out[c] = parsed[c].values
         out.loc[out["cancelled"], "media_ref"] = ""
         out["ocr_text"] = ocr.where(~out["cancelled"], "")
-        # outlink extraction + canonicalization is the only per-row Python
-        # left; span assembly happens JVM-side (span_col in this module)
-        cancelled_l = out["cancelled"].tolist()
-        url_l = out["url"].tolist()
-        html_l = html.tolist()
-        out["outlink_urls"] = [
-            []
-            if cancelled_l[i]
-            else [
-                urltools.canonicalize(url_l[i], raw)
-                for raw in urltools.extract_raw_hrefs(html_l[i])
-            ]
-            for i in range(len(out))
-        ]
+        # vectorized outlink extraction + canonicalization (one extractall
+        # over the Arrow batch); cancelled pages contribute no html, so no
+        # links — span assembly happens JVM-side (span_col in this module)
+        out["outlink_urls"] = urltools.extract_outlinks_frame(
+            pdf["url"], html.where(~out["cancelled"], "")
+        )
         yield out
 
 
@@ -145,6 +137,17 @@ class CrawlEngine:
         self.epoch_seconds = epoch_seconds
         self.robots_rules = robots_rules if robots_rules is not None else default_robots()
         self.compact_every = compact_every
+        # livelock guard: budget = floor(min(carry + r*T, r*T + burst)) can
+        # never reach 1 when r*T + burst < 1 — the engine would commit empty
+        # epochs forever without draining the frontier. Reject up front.
+        for host, rule in self.robots_rules.items():
+            if rule.rate_per_sec * epoch_seconds + rule.burst < 1:
+                raise ValueError(
+                    f"robots rule for {host!r}: rate_per_sec*epoch_seconds + burst"
+                    f" = {rule.rate_per_sec * epoch_seconds + rule.burst:.3f} < 1;"
+                    " the token budget floors to 0 forever (raise burst,"
+                    " rate, or epoch_seconds)"
+                )
 
     # ----------------------------------------------------------- inputs
     def robots_df(self) -> DataFrame:
@@ -195,9 +198,9 @@ class CrawlEngine:
 
     def _admit(
         self, raw_candidates: DataFrame, epoch: int
-    ) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
+    ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
         """Junk filter + robots gate + dedup; returns (new_rows, seen_state',
-        metric frames)."""
+        persisted handles to unpersist after the epoch's writes commit)."""
         robots = self.robots_df()
         cands = self._finalize_candidates(raw_candidates, epoch)
         gated = politeness.apply_robots_gate(cands, robots)
@@ -208,9 +211,8 @@ class CrawlEngine:
         seen_state = (
             self.store.read_snapshot(self.spark, "seen_state", prev) if prev is not None else None
         )
-        new_rows, state = dedup.dedup_candidates(gated, seen_exact, seen_state, epoch)
-        metrics = {"candidates": cands, "admitted": new_rows}
-        return new_rows, state, metrics
+        new_rows, state, handles = dedup.dedup_candidates(gated, seen_exact, seen_state, epoch)
+        return new_rows, state, handles
 
     def _write_epoch(
         self,
@@ -284,7 +286,7 @@ class CrawlEngine:
             gen_serp,
             "url string, seed_id long, page int, link_order int, depth int, parent_url_id long",
         )
-        new_rows, state, mframes = self._admit(raw, 0)
+        new_rows, state, handles = self._admit(raw, 0)
         new_rows = new_rows.cache()
         n_admitted = new_rows.count()
         empty_host_state = self.spark.createDataFrame(
@@ -295,6 +297,8 @@ class CrawlEngine:
             {"admitted": n_admitted, "seeds": len(seed_ids)},
         )
         new_rows.unpersist()
+        for h in handles:
+            h.unpersist()
 
     def step(self) -> dict | None:
         """Run one drain epoch; returns metric counts, or None when the
@@ -331,7 +335,6 @@ class CrawlEngine:
                 host_state, empty_rows, None, None,
                 {"granted": 0, "new_urls": 0, "cancelled": 0}, bucket_counts={},
             )
-            self.spark.catalog.clearCache()
             return {"epoch": epoch, "granted": 0, "new_urls": 0, "cancelled": 0}
 
         fetched = (
@@ -372,7 +375,7 @@ class CrawlEngine:
                 F.col("url_id").alias("parent_url_id"),
             )
         )
-        new_rows, seen_state, _ = self._admit(children, epoch)
+        new_rows, seen_state, handles = self._admit(children, epoch)
         new_rows = new_rows.cache()
         # one action for all admission metrics (total + per-bucket)
         bucket_counts = {
@@ -397,9 +400,10 @@ class CrawlEngine:
         granted.unpersist()
         fetched.unpersist()
         new_rows.unpersist()
-        # dedup_candidates persists intermediates internally; nothing should
-        # stay cached across epochs, so clear rather than leak per epoch
-        self.spark.catalog.clearCache()
+        # release dedup's internal persists explicitly — never clear the
+        # session-wide cache (the caller may have its own frames cached)
+        for h in handles:
+            h.unpersist()
         return {"epoch": epoch, "granted": n_granted, "new_urls": n_new,
                 "cancelled": n_cancelled}
 

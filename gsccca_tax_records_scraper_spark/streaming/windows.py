@@ -30,12 +30,20 @@ def streaming_tumbling_metrics(
     output_mode: str = "update",
 ):
     """Streaming variant over a parquet directory source with a watermark
-    for late rows; memory sink for inspection. Returns the StreamingQuery —
-    callers processAllAvailable() then read `SELECT * FROM <query_name>`.
+    for late rows; memory sink for inspection. Returns the StreamingQuery.
 
     output_mode='update' (default) honors the watermark and evicts closed
     windows' state; 'complete' keeps all state forever (watermark ignored by
-    Spark in that mode) and is only for small inspection runs."""
+    Spark in that mode) and is only for small inspection runs.
+
+    READ PATTERN: the memory sink APPENDS each trigger's output rows, and
+    with maxFilesPerTrigger=4 a window typically updates across several
+    triggers. In 'update' mode `SELECT * FROM <query_name>` therefore
+    contains stale versions of re-emitted windows — readers must take the
+    LAST row per (window_start, event_type) (e.g. qualify
+    row_number() over (partition by window_start, event_type order by
+    rowid desc) = 1, or re-aggregate with max). Only 'complete' mode's table
+    is directly readable after processAllAvailable()."""
     events = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(parquet_dir)
     )

@@ -148,3 +148,38 @@ def test_record_spans_shape():
     for s in spans:
         if s[0] == "text":
             assert s[2] == ""
+
+
+def test_extract_outlinks_frame_matches_per_row_loop():
+    """The vectorized extractall+canonicalize hot path must reproduce the
+    per-row extract_raw_hrefs+canonicalize loop exactly — SERP pages
+    (js-wrapped, escaped, junk, admin links) and detail pages (related
+    links), plus edge rows with no links / empty html."""
+    bases, htmls = [], []
+    for seed in range(6):
+        for page in range(1, sitegen.n_serp_pages(seed) + 1):
+            bases.append(sitegen.serp_base_url(seed, page))
+            htmls.append(sitegen.serp_html(seed, page))
+    for n in range(0, 300, 11):
+        u = sitegen.doc_url(n)
+        bases.append(u)
+        htmls.append(sitegen.detail_html(u))
+    bases += ["https://x.org/a", "https://x.org/b"]
+    htmls += ["<html>no links</html>", ""]
+    # scheme-relative + relative-path + query-only residue shapes
+    bases.append("https://x.org/dir/page.asp?a=1")
+    htmls.append(
+        '<a href="//cdn.x.org/z">1</a><a href="sub/rel.asp?q=2">2</a>'
+        '<a href="?only=query">3</a><a href="#frag">4</a>'
+        '<a href="  /sp&amp;aced  ">5</a>'
+    )
+    import pandas as pd
+
+    got = urltools.extract_outlinks_frame(
+        pd.Series(bases), pd.Series(htmls)
+    ).tolist()
+    want = [
+        [urltools.canonicalize(b, raw) for raw in urltools.extract_raw_hrefs(h)]
+        for b, h in zip(bases, htmls)
+    ]
+    assert got == want

@@ -76,12 +76,22 @@ def test_grant_has_no_full_host_window(spark, tmp_path):
     import re
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert len(specs) == 2
+    # fan-in tournament: (host, host_bucket) -> (host, bucket//8) -> host;
+    # every level's task input is bounded by fan_in * budget rows
+    assert len(specs) == 3
     # the first (full-frontier) window must shard on host_bucket; the
-    # host-only window runs second, over the pruned survivors. (the literal
-    # single-host column itself constant-folds out of the spec here.)
-    assert specs[0].split(",")[0].startswith("host_bucket")
-    assert not specs[1].split(",")[0].startswith("host_bucket")
+    # host-only window runs LAST, over <= fan_in*budget survivors. (the
+    # literal single-host column itself constant-folds out of the spec.)
+    first = [sp.split(",")[0] for sp in specs]
+    # level 0 partitions on host_bucket (a partition key carries no ASC)
+    assert first[0].startswith("host_bucket") and "ASC" not in first[0]
+    # the mid level partitions on the pre-projected floor(bucket/fan_in)
+    # expression (Spark aliases complex partition exprs to _w<N>)
+    assert first[1].startswith("_w") and "ASC" not in first[1]
+    assert "floor" in plan.lower()
+    # the final window partitions on host only (constant-folds out here), so
+    # its spec starts directly with an ORDER column
+    assert "ASC" in first[2]
 
 
 def test_global_topk_is_take_ordered(spark, sf01):

@@ -57,3 +57,36 @@ def test_ivf_probe_reduces_candidates(emb, queries):
     full = similarity.ivf_topk(emb, queries, k=3, n_cells=4, nprobe=4)
     bf = similarity.brute_force_topk(emb, queries, k=3)
     assert _topk_sets(full) == _topk_sets(bf)
+
+
+def test_ivf_trained_centroids_on_clustered_data(spark):
+    """k-means-trained centroids must recover cluster structure: on a
+    clustered corpus IVF recall@5 with nprobe=2/8 cells reaches >= 0.8,
+    and beats the untrained random-direction seeding. (The sf embeddings
+    are near-isotropic, which caps any cell-pruned recall — cluster
+    recovery is the property that matters at scale.)"""
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    centers = rs.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.15 * rs.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    ivf_t = _topk_sets(
+        similarity.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, train=True)
+    )
+    ivf_r = _topk_sets(
+        similarity.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, train=False)
+    )
+    rec_t = sum(len(bf[q] & ivf_t.get(q, set())) / len(bf[q]) for q in bf) / len(bf)
+    rec_r = sum(len(bf[q] & ivf_r.get(q, set())) / len(bf[q]) for q in bf) / len(bf)
+    assert rec_t >= 0.8, rec_t
+    assert rec_t >= rec_r, (rec_t, rec_r)
