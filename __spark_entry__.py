@@ -570,6 +570,26 @@ def q_slug(spark, sf):
 
 
 @_q(
+    "hyperlink_formula",
+    "SELECT doc_id, CASE WHEN trim(name) <> '' THEN"
+    " '=HYPERLINK(\"file:///docs/' || name || '\", \"' || name || '\")'"
+    " ELSE '' END AS view_pdf FROM ("
+    " SELECT doc_id, CASE WHEN n_chars % 7 = 0 THEN ''"
+    "   ELSE doc_id || '.pdf' END AS name FROM documents)",
+)
+def q_hyperlink(spark, sf):
+    from gsccca_tax_records_scraper_spark.sources.sinks import hyperlink_formula_col
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.col("doc_id"), F.lit(".pdf"))
+        ).alias("name"),
+    )
+    return d.select("doc_id", hyperlink_formula_col("docs", F.col("name")).alias("view_pdf"))
+
+
+@_q(
     "case_contains",
     "SELECT count(*) AS n FROM part WHERE contains(lower(p_type), 'brass')",
 )
@@ -683,6 +703,28 @@ def _q_crawl_canonicalize(spark, sf):
 
 
 _REGISTRY["crawl_canonicalize_dedup"] = (_q_crawl_canonicalize, None)
+
+
+def _q_realestate_frontier(spark, sf):
+    """S1 seed-form schema + the real-estate entity frontier shape
+    (url, status, search_name, entity_index, doc_index) with keep-first
+    per-entity dedup (realestate_index_scraper.py:422-490). Rows-only: the
+    generation chain is sha1-derived; schema/order/dedup parity is asserted
+    in tests/test_seedforms.py."""
+    from gsccca_tax_records_scraper_spark.sources import seedforms
+
+    forms = [
+        {"search_name": f"SMITH {i}", "county": str(i % 159 + 1),
+         "party_type": "2", "instrument_type": "1",
+         "from_date": "01/01/2015", "to_date": "12/31/2024"}
+        for i in range(6)
+    ]
+    return seedforms.realestate_entity_frontier(spark, forms).orderBy(
+        "search_name", "entity_index", "doc_index"
+    )
+
+
+_REGISTRY["realestate_entity_frontier"] = (_q_realestate_frontier, None)
 
 
 # ---- OCR-extraction cascades over synthetic doc text (F5/F6/A2) ------------

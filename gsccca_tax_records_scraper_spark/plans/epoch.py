@@ -300,6 +300,17 @@ class CrawlEngine:
         for h in handles:
             h.unpersist()
 
+    def bootstrap_forms(self, forms: list[dict]) -> list[int]:
+        """Epoch 0 from structured seed FORMS (S1): each form (party_type,
+        instrument_type, county, search_name, from/to_date, ... — the
+        reference's form_data, lien_index_scraper.py:331-354) maps to a
+        deterministic seed_id; returns the seed ids used."""
+        from ..sources import seedforms
+
+        seed_ids = [seedforms.seed_id_of_form(f) for f in forms]
+        self.bootstrap(seed_ids)
+        return seed_ids
+
     def step(self) -> dict | None:
         """Run one drain epoch; returns metric counts, or None when the
         frontier is empty (crawl complete)."""

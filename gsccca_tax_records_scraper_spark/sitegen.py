@@ -202,6 +202,44 @@ def detail_html(url: str) -> str:
 </body></html>"""
 
 
+# ------------------------------------------------ real-estate entity pages
+# The RE pipeline selects one rdoEntityName radio at a time and pulls the
+# entity's final.asp document links (realestate_index_scraper.py:423-484).
+
+RE_BASE = f"https://{HOT_HOST}/RealEstate/"
+
+
+def n_re_entities(search_name: str) -> int:
+    """Number of rdoEntityName radios a search returns (1..5)."""
+    return 1 + h64("re_entities", search_name) % 5
+
+
+def re_entity_doc_nos(search_name: str, entity_idx: int) -> list[int]:
+    """Doc numbers behind one entity's final.asp links (with deliberate
+    in-page duplicates — the reference dedups per entity with an ordered
+    dict, realestate_index_scraper.py:476)."""
+    n = 3 + h64("re_ndocs", search_name, entity_idx) % 6
+    nos = [h64("re_doc", search_name, entity_idx, j) % N_DOC_UNIVERSE for j in range(n)]
+    if n >= 4:
+        nos.append(nos[0])  # duplicate link target on the same page
+    return nos
+
+
+def re_entity_html(search_name: str, entity_idx: int) -> str:
+    """Entity detail page: final.asp anchors, both plain and JS-wrapped
+    (realestate_index_scraper.py:453-472)."""
+    rows = []
+    for j, dn in enumerate(re_entity_doc_nos(search_name, entity_idx)):
+        r = h64("re_style", search_name, entity_idx, j)
+        amp = "&amp;" if r % 3 == 0 else "&"
+        rel = f"final.asp?entity={entity_idx}{amp}doc={dn}"
+        if r % 2 == 0:
+            rows.append(f'<a href="javascript:fnSubmitThisForm(\'{rel}\');">GE {dn}</a>')
+        else:
+            rows.append(f'<a href="{rel}">GR {dn}</a>')
+    return "<html><body>" + "\n".join(rows) + "</body></html>"
+
+
 def detail_ocr_text(url: str) -> str:
     """Synthetic OCR body with the cue lines the reference's extractors key on
     (ocr/ocr_tax_extractor.py:43-56,451-462; ocr/realestate_ocr_extractor.py:23-66),

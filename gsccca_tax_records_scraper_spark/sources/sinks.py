@@ -26,6 +26,19 @@ def append_records(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def hyperlink_formula_col(documents_dir: str, name):
+    """The export sheet's View-PDF cell (F15): `=HYPERLINK("file:///<dir>/
+    <name>", "<name>")`, empty cell when the name is blank — mirrors
+    lien_index_scraper.py:184-189,924-928."""
+    base = documents_dir.replace(os.sep, "/").rstrip("/")
+    return F.when(
+        F.trim(name) != "",
+        F.concat(
+            F.lit(f'=HYPERLINK("file:///{base}/'), name, F.lit('", "'), name, F.lit('")')
+        ),
+    ).otherwise(F.lit(""))
+
+
 def upsert_records(
     spark: SparkSession, df: DataFrame, path: str, natural_key: list[str]
 ) -> int:
