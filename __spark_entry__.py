@@ -590,6 +590,49 @@ def q_hyperlink(spark, sf):
 
 
 @_q(
+    "two_stage_total_recovery",
+    "WITH t AS (SELECT o_orderkey AS doc_id,"
+    " CASE WHEN o_orderkey % 3 = 0 THEN 'partial scan, no totals line'"
+    "   ELSE 'TOTAL DUE: $' || ((o_orderkey * 13) % 9000 + 100) || '.25' END AS text,"
+    " 'ROI TOTAL ' || ((o_orderkey * 13) % 9000 + 100) || '.25 recovered' AS roi_text"
+    " FROM orders),"
+    " c AS (SELECT doc_id, roi_text,"
+    "   regexp_extract(text, 'TOTAL DUE: \\$([\\d,]+\\.\\d{2})', 1) AS total FROM t)"
+    " SELECT doc_id, total, 'cheap' AS source FROM c WHERE total <> ''"
+    " UNION ALL"
+    " SELECT doc_id, regexp_extract(roi_text, '([\\d,]+\\.\\d{2})', 1) AS total,"
+    "  'roi' AS source FROM c WHERE total = ''",
+)
+def q_two_stage(spark, sf):
+    """§4 conditional expensive path: cheap TOTAL regex for all rows, the
+     'expensive' ROI recovery only for the miss subset (here a Column stand-in
+    for the PaddleOCR call; the operator takes any DataFrame->DataFrame)."""
+    from gsccca_tax_records_scraper_spark.operators.twostage import two_stage_extract
+
+    k = F.col("o_orderkey")
+    amt = ((k * 13) % 9000 + 100).cast("string")
+    t = _t(spark, sf, "orders").select(
+        k.alias("doc_id"),
+        F.when(k % 3 == 0, F.lit("partial scan, no totals line")).otherwise(
+            F.concat(F.lit("TOTAL DUE: $"), amt, F.lit(".25"))
+        ).alias("text"),
+        F.concat(F.lit("ROI TOTAL "), amt, F.lit(".25 recovered")).alias("roi_text"),
+    )
+    out = two_stage_extract(
+        t,
+        cheap={
+            "total": F.regexp_extract("text", r"TOTAL DUE: \$([\d,]+\.\d{2})", 1),
+            "source": F.lit("cheap"),
+        },
+        missing=F.col("total") == "",
+        expensive=lambda miss: miss.withColumn(
+            "total", F.regexp_extract("roi_text", r"([\d,]+\.\d{2})", 1)
+        ).withColumn("source", F.lit("roi")),
+    )
+    return out.select("doc_id", "total", "source")
+
+
+@_q(
     "case_contains",
     "SELECT count(*) AS n FROM part WHERE contains(lower(p_type), 'brass')",
 )

@@ -18,21 +18,35 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: tuple[int, int, int] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores=None -> local[*]. shuffle_partitions defaults to the core count:
     at cluster scale this would be ~2-3x total executor cores; AQE coalesces
     small shuffles back down either way.
+
+    executors=(n, cores_each, mem_mb) runs in local-cluster mode: n REAL
+    executor JVMs forked on this machine, each with its own heap/GC/python
+    workers — the faithful sandbox stand-in for an n-executor cluster (the
+    north rule's N vs 4N executor scaling), unlike local[k] thread scaling
+    which shares one JVM. The repo is exported to the executors' PYTHONPATH
+    (the spark-submit --py-files equivalent).
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else os.cpu_count() or 4
+    if executors is not None:
+        n_exec, cores_each, mem_mb = executors
+        master = f"local-cluster[{n_exec},{cores_each},{mem_mb}]"
+        cores = n_exec * cores_each
+    else:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -51,6 +65,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if executors is not None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.memory", f"{executors[2]}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.python.worker.reuse", "true")
+        )
     # single-JVM local mode funnels every shuffle through one disk — a
     # local-mode artifact a real cluster doesn't have (per-executor disks).
     # Use RAM-backed tmpfs for shuffle/spill when available.
