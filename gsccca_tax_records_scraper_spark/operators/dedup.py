@@ -4,32 +4,36 @@ Reference semantics: keep the FIRST occurrence of each URL, in discovery
 order (ordered-dict dedup realestate_index_scraper.py:474; drop_duplicates
 :510). Scale design (north_star):
 
-  stage 1 (JVM)  keep-first = min(order-struct) per url_id with map-side
-                 partial aggregation — ONE shuffle on url_id, hash-balanced,
-                 no host skew.
-  stage 2 (one   candidates' slim keys (host_bucket, url_id, xxhash64(url))
-  cogroup)       union'd with the seen set's slim keys cogroup with the
-                 per-bucket filter state; inside each group (numpy/pandas):
-                 (a) blocked-Bloom probe — negatives are DEFINITELY new;
-                 (b) positives resolve EXACTLY against the bucket's seen keys
-                     (128-bit identity: 60-bit sha1 url_id + independent
-                     64-bit xxhash64 — collision odds ~1e-18 at 10^10 urls);
-                 (c) confirmed-new ids insert into bloom+cuckoo (sorted first
-                     so the state bytes are partition-layout-independent);
-                 (d) a bucket whose filters would overflow REBUILDS them at
-                     doubled capacity from the seen+new ids in hand.
-                 Output = new url_ids + one updated state row per bucket —
-                 ONE shuffle on host_bucket, ONE JVM<->Python crossing.
-  stage 3 (JVM)  left-semi join of the kept-first rows against the new ids
-                 returns the admitted frontier rows with full payload.
+  ONE cogroup   candidates (full payload, flattened) union'd with the seen
+                set's slim keys, cogrouped on host_bucket with the bucket's
+                filter state. host_bucket is a pure function of url_id, so
+                every duplicate of a url lands in the same group. Inside
+                (numpy/pandas, vectorized):
+                (a) keep-first: np.lexsort on (url_id, depth, seed, page,
+                    link_order, parent) + first-occurrence mask — the
+                    group-local keep-first IS the global keep-first;
+                (b) blocked-Bloom probe — negatives are DEFINITELY new;
+                (c) positives resolve EXACTLY against the bucket's seen keys
+                    (128-bit identity: 60-bit sha1 url_id + independent
+                    64-bit xxhash64 — collision odds ~1e-18 at 10^10 urls);
+                (d) confirmed-new ids insert into bloom+cuckoo (sorted first
+                    so the state bytes are partition-layout-independent);
+                (e) a bucket whose filters would overflow REBUILDS them at
+                    doubled capacity from the seen+new ids in hand.
+                Output = the kept-first NEW rows (full payload) + one state
+                row per bucket.
 
-Per epoch that is 2 shuffles + 1 semi-join, vs 2 cogroups + 3 joins in the
-unfused design — the fixed per-epoch stage count is what throttled N->4N
-scaling efficiency. The decision remains exact w.r.t. the seen SET; the
-filters only skip work (bloom-negative skips the resolve), never claim
-"seen" on their own. The cuckoo table is maintained for the deletion /
-recrawl-revocation capability (north_star): removing a url from a bloom is
-impossible, from the cuckoo it is an O(1) fingerprint delete.
+Per epoch that is ONE shuffle and ONE JVM<->Python crossing, with no join
+and no aggregation at all. The previous shapes — keep-first as a JVM
+min(struct) groupBy + probe/insert cogroups + exact-resolve joins — lose to
+this on two counts at any scale: min over a struct (or any var-width type)
+compiles to SortAggregate, i.e. two full sorts of the batch per epoch, and
+the extra stages' fixed costs throttled N->4N scaling efficiency. The
+decision remains exact w.r.t. the seen SET; the filters only skip work
+(bloom-negative skips the resolve), never claim "seen" on their own. The
+cuckoo table is maintained for the deletion / recrawl-revocation capability
+(north_star): removing a url from a bloom is impossible, from the cuckoo it
+is an O(1) fingerprint delete.
 
 At 10^10 urls the seen keys are 16 bytes/row; shipping a bucket's keys
 through Arrow is the same order as the JVM shuffle the exact-resolve join
@@ -113,29 +117,33 @@ def keep_first_in_batch(candidates: DataFrame) -> DataFrame:
     )
 
 
+_PAYLOAD_COLS = [
+    "url_id", "url", "host", "host_bucket", "priority",
+    "co_seed_id", "co_page", "co_link_order", "co_depth",
+    "status", "lin_parent", "lin_seed", "lin_depth", "lin_epoch",
+]
 _OUT_SCHEMA = (
-    "host_bucket int, url_id long, bloom binary, cuckoo binary, n_items long, epoch int"
+    _FLAT_SCHEMA + ", bloom binary, cuckoo binary, n_items long, epoch int"
 )
 
 
 def _fused_fn(epoch: int, capacity: int):
-    """Cogroup body: probe + exact-resolve + insert (+ rebuild on overflow).
-    left = slim keys (host_bucket, url_id, url_h, is_seen); right = the
-    bucket's state row. Returns new-candidate key rows (state columns NULL)
-    plus exactly one state row (url_id NULL)."""
+    """Cogroup body: keep-first + probe + exact-resolve + insert (+ rebuild
+    on overflow). left = flattened candidate rows (full payload, is_seen
+    False) union'd with the seen set's keys (payload zero-filled — nulls
+    would demote int64 columns to float64 in pandas and corrupt 60-bit ids);
+    right = the bucket's state row. Returns the kept-first NEW candidate
+    rows (state columns NULL) plus exactly one state row (bloom non-NULL)."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty_payload = {c: pd.Series([], dtype="object") for c in _PAYLOAD_COLS}
         if left.empty and right.empty:
-            return pd.DataFrame(
-                {
-                    "host_bucket": pd.Series([], dtype="int32"),
-                    "url_id": pd.Series([], dtype="int64"),
-                    "bloom": pd.Series([], dtype="object"),
-                    "cuckoo": pd.Series([], dtype="object"),
-                    "n_items": pd.Series([], dtype="int64"),
-                    "epoch": pd.Series([], dtype="int32"),
-                }
-            )
+            out = pd.DataFrame(empty_payload)
+            out["bloom"] = pd.Series([], dtype="object")
+            out["cuckoo"] = pd.Series([], dtype="object")
+            out["n_items"] = pd.Series([], dtype="int64")
+            out["epoch"] = pd.Series([], dtype="int32")
+            return out
         if right.empty:
             bloom = seenset.BlockedBloom.for_capacity(capacity)
             cuckoo = seenset.CuckooFilter.for_capacity(capacity)
@@ -145,30 +153,53 @@ def _fused_fn(epoch: int, capacity: int):
             cuckoo = seenset.CuckooFilter.from_bytes(bytes(right["cuckoo"].iloc[0]))
             bucket = int(right["host_bucket"].iloc[0])
 
-        if left.empty:
-            new_ids = np.zeros(0, dtype="int64")
-            seen_ids = np.zeros(0, dtype="int64")
-            seen_h = np.zeros(0, dtype="int64")
-        else:
+        new_rows = None
+        new_ids = np.zeros(0, dtype="int64")
+        seen_ids = np.zeros(0, dtype="int64")
+        if not left.empty:
             is_seen = left["is_seen"].to_numpy(dtype=bool)
             cand = left[~is_seen]
             seen_ids = left["url_id"].to_numpy(dtype="int64")[is_seen]
             seen_h = left["url_h"].to_numpy(dtype="int64")[is_seen]
-            cand_ids = cand["url_id"].to_numpy(dtype="int64")
-            cand_h = cand["url_h"].to_numpy(dtype="int64")
-            # (a) bloom probe: negatives are definitely new
-            maybe = bloom.contains(cand_ids.view(np.uint64))
-            # (b) exact resolve of the maybes against the seen 128-bit keys
-            if maybe.any() and len(seen_ids):
-                key_seen = pd.MultiIndex.from_arrays([seen_ids, seen_h])
-                key_maybe = pd.MultiIndex.from_arrays([cand_ids[maybe], cand_h[maybe]])
-                truly_seen = key_maybe.isin(key_seen)
-                resolved_new = cand_ids[maybe][~truly_seen]
-            else:
-                resolved_new = cand_ids[maybe]
-            new_ids = np.concatenate([cand_ids[~maybe], resolved_new])
+            if len(cand):
+                ids = cand["url_id"].to_numpy(dtype="int64")
+                # (a) keep-first per url_id in total crawl order: lexsort
+                # keys are listed minor-first, url_id last = primary
+                order = np.lexsort(
+                    (
+                        cand["lin_parent"].to_numpy(dtype="int64"),
+                        cand["co_link_order"].to_numpy(dtype="int64"),
+                        cand["co_page"].to_numpy(dtype="int64"),
+                        cand["co_seed_id"].to_numpy(dtype="int64"),
+                        cand["co_depth"].to_numpy(dtype="int64"),
+                        ids,
+                    )
+                )
+                ids_sorted = ids[order]
+                first_mask = np.empty(len(order), dtype=bool)
+                first_mask[0] = True
+                first_mask[1:] = ids_sorted[1:] != ids_sorted[:-1]
+                kept_idx = order[first_mask]
+                kept = cand.iloc[kept_idx]
+                kept_ids = ids[kept_idx]
+                # (b) bloom probe: negatives are definitely new
+                maybe = bloom.contains(kept_ids.view(np.uint64))
+                # (c) exact resolve of the maybes against the seen 128-bit keys
+                if maybe.any() and len(seen_ids):
+                    kept_h = kept["url_h"].to_numpy(dtype="int64")[maybe]
+                    key_seen = pd.MultiIndex.from_arrays([seen_ids, seen_h])
+                    key_maybe = pd.MultiIndex.from_arrays([kept_ids[maybe], kept_h])
+                    truly_seen = key_maybe.isin(key_seen)
+                    new_sel = ~maybe
+                    new_sel[np.flatnonzero(maybe)[~truly_seen]] = True
+                else:
+                    # no seen keys in this bucket: any bloom positive is a
+                    # false positive -> everything kept is new
+                    new_sel = np.ones(len(kept_ids), dtype=bool)
+                new_rows = kept[new_sel]
+                new_ids = kept_ids[new_sel]
 
-        # (c)/(d) insert, rebuilding at doubled capacity on overflow; ids are
+        # (d)/(e) insert, rebuilding at doubled capacity on overflow; ids are
         # sorted first so state bytes are independent of partition layout
         total = bloom.n_items + len(new_ids)
         if total > bloom.capacity:
@@ -185,26 +216,21 @@ def _fused_fn(epoch: int, capacity: int):
             bloom.insert(ins)
             cuckoo.insert(ins)
 
-        out = pd.DataFrame(
-            {
-                "host_bucket": np.full(len(new_ids), bucket, dtype="int32"),
-                "url_id": new_ids,
-                "bloom": None,
-                "cuckoo": None,
-                "n_items": np.zeros(len(new_ids), dtype="int64"),
-                "epoch": np.zeros(len(new_ids), dtype="int32"),
-            }
-        )
-        state_row = pd.DataFrame(
-            {
-                "host_bucket": [bucket],
-                "url_id": [None],
-                "bloom": [bloom.to_bytes()],
-                "cuckoo": [cuckoo.to_bytes()],
-                "n_items": [int(bloom.n_items)],
-                "epoch": [epoch],
-            }
-        )
+        if new_rows is None or new_rows.empty:
+            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in _PAYLOAD_COLS})
+        else:
+            out = new_rows[_PAYLOAD_COLS].copy()
+        out["bloom"] = None
+        out["cuckoo"] = None
+        out["n_items"] = 0
+        out["epoch"] = 0
+        state_row = {c: [None] for c in _PAYLOAD_COLS}
+        state_row["host_bucket"] = [bucket]
+        state_row = pd.DataFrame(state_row)
+        state_row["bloom"] = [bloom.to_bytes()]
+        state_row["cuckoo"] = [cuckoo.to_bytes()]
+        state_row["n_items"] = [int(bloom.n_items)]
+        state_row["epoch"] = [epoch]
         return pd.concat([out, state_row], ignore_index=True)
 
     return fn
@@ -227,48 +253,37 @@ def dedup_candidates(
     """
     spark = candidates.sparkSession
     flat = _flatten(candidates)
-
-    # stage 1 (JVM, map-side combined): keep-first = min(struct) per url_id,
-    # order fields leading the struct so lexicographic min == crawl order min
-    payload = [c for c in flat.columns if c not in ("url_id", *_FLAT_ORDER[:-1])]
-    packed = flat.select(
-        "url_id",
-        F.struct(*[F.col(c) for c in _FLAT_ORDER[:-1]], *[F.col(c) for c in payload]).alias(
-            "__s"
-        ),
+    cand_side = flat.select(
+        *_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"), F.lit(False).alias("is_seen")
     )
-    first = (
-        packed.groupBy("url_id").agg(F.min("__s").alias("__s")).select("url_id", "__s.*")
-    ).persist()
-
+    if seen_exact is not None:
+        zero = F.lit(0).cast("long")
+        seen_side = seen_exact.select(
+            F.col("url_id"), F.lit("").alias("url"), F.lit("").alias("host"),
+            F.col("host_bucket"), F.lit(0.0).alias("priority"),
+            zero.alias("co_seed_id"), F.lit(0).alias("co_page"),
+            F.lit(0).alias("co_link_order"), F.lit(0).alias("co_depth"),
+            F.lit("").alias("status"), zero.alias("lin_parent"),
+            zero.alias("lin_seed"), F.lit(0).alias("lin_depth"),
+            F.lit(0).alias("lin_epoch"),
+            F.xxhash64("url").alias("url_h"), F.lit(True).alias("is_seen"),
+        )
+        cand_side = cand_side.unionByName(seen_side)
     state_src = (
         seen_state
         if seen_state is not None
         else spark.createDataFrame([], _STATE_SCHEMA)
     )
-    cand_keys = first.select(
-        "host_bucket", "url_id", F.xxhash64("url").alias("url_h"),
-        F.lit(False).alias("is_seen"),
-    )
-    if seen_exact is not None:
-        seen_keys = seen_exact.select(
-            "host_bucket", "url_id", F.xxhash64("url").alias("url_h"),
-            F.lit(True).alias("is_seen"),
-        )
-        cand_keys = cand_keys.unionByName(seen_keys)
 
-    # stage 2: ONE cogroup does probe + exact resolve + insert (+ rebuild)
+    # ONE cogroup: keep-first + probe + exact resolve + insert (+ rebuild)
     out = (
-        cand_keys.groupBy("host_bucket")
+        cand_side.groupBy("host_bucket")
         .cogroup(state_src.groupBy("host_bucket"))
         .applyInPandas(_fused_fn(epoch, capacity), _OUT_SCHEMA)
         .persist()
     )
-    updated_state = out.filter(F.col("url_id").isNull() & F.col("host_bucket").isNotNull()).select(
+    updated_state = out.filter(F.col("bloom").isNotNull()).select(
         "host_bucket", "bloom", "cuckoo", "n_items", "epoch"
     )
-    # stage 3 (JVM): admitted rows = kept-first rows whose url_id came back new
-    new_flat = first.join(
-        out.filter(F.col("url_id").isNotNull()).select("url_id"), "url_id", "left_semi"
-    )
-    return _unflatten(new_flat), updated_state, [first, out]
+    new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS)
+    return _unflatten(new_flat), updated_state, [out]
