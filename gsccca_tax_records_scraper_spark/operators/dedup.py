@@ -252,7 +252,12 @@ def dedup_candidates(
     never clear the session-wide cache, other users' frames live there too).
     """
     spark = candidates.sparkSession
-    flat = _flatten(candidates)
+    # lin_parent is the only nullable int64 (seed rows have no parent): a
+    # batch mixing nulls with 60-bit ids would cross Arrow as float64 and
+    # silently corrupt the ids, so nulls ride as -1 and are restored after
+    flat = _flatten(candidates).withColumn(
+        "lin_parent", F.coalesce(F.col("lin_parent"), F.lit(-1).cast("long"))
+    )
     cand_side = flat.select(
         *_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"), F.lit(False).alias("is_seen")
     )
@@ -285,5 +290,10 @@ def dedup_candidates(
     updated_state = out.filter(F.col("bloom").isNotNull()).select(
         "host_bucket", "bloom", "cuckoo", "n_items", "epoch"
     )
-    new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS)
+    new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS).withColumn(
+        "lin_parent",
+        F.when(F.col("lin_parent") == -1, F.lit(None).cast("long")).otherwise(
+            F.col("lin_parent")
+        ),
+    )
     return _unflatten(new_flat), updated_state, [out]

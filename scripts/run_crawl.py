@@ -34,12 +34,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def parse_seeds(spec: str) -> list[int]:
     out: list[int] = []
-    for part in spec.split(","):
-        if "-" in part:
-            lo, hi = part.split("-", 1)
-            out.extend(range(int(lo), int(hi) + 1))
-        else:
-            out.append(int(part))
+    try:
+        for part in spec.split(","):
+            if "-" in part:
+                lo, hi = part.split("-", 1)
+                out.extend(range(int(lo), int(hi) + 1))
+            else:
+                out.append(int(part))
+    except ValueError:
+        raise SystemExit(
+            f"--seeds: cannot parse {spec!r} — expected comma-separated ints"
+            " and lo-hi ranges, e.g. '1,2,3' or '0-158'"
+        ) from None
+    if not out:
+        raise SystemExit("--seeds: empty seed list")
     return out
 
 
