@@ -64,6 +64,47 @@ def upsert_records(
     return n
 
 
+def upsert_records_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    natural_key: list[str],
+    n_buckets: int = 64,
+) -> int:
+    """The MERGE-INTO shape of `upsert_records` for big tables: the store is
+    hive-partitioned by `key_bucket = pmod(xxhash64(key), n_buckets)`, and an
+    incoming batch prunes the existing-side scan to ONLY the partitions its
+    own keys hash into (pushed partition filter). `upsert_records` re-reads
+    the whole existing table per call — fine for small state, quadratic
+    over a run at 10^10 rows; this variant's per-call read is proportional
+    to the batch's bucket fan-out, which is what Iceberg/Delta MERGE does
+    with partition-level pruning. Same null-safe keep-existing semantics;
+    returns the insert count."""
+    batch = df.dropDuplicates(natural_key).withColumn(
+        "key_bucket", F.pmod(F.xxhash64(*natural_key), F.lit(n_buckets)).cast("int")
+    )
+    batch = batch.cache()
+    try:
+        if os.path.exists(path):
+            touched = [int(r.key_bucket) for r in batch.select("key_bucket").distinct().collect()]
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("key_bucket").isin(touched))  # partition-pruned scan
+                .select(*natural_key, "key_bucket")
+            )
+            cond = F.col("b.key_bucket") == F.col("e.key_bucket")
+            for k in natural_key:
+                cond = cond & F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+            batch = batch.alias("b").join(existing.alias("e"), cond, "left_anti")
+            batch = batch.cache()
+        n = batch.count()
+        if n:
+            batch.write.mode("append").partitionBy("key_bucket").parquet(path)
+        return n
+    finally:
+        batch.unpersist()
+
+
 def export_single_file(
     df: DataFrame,
     path: str,

@@ -1,0 +1,104 @@
+"""Streaming URL-seen dedup: applyInPandasWithState (SURVEY §2.9 T2/T3).
+
+The batch engine carries the blocked-Bloom + cuckoo seen set through epoch
+checkpoint tables. This module is the same operator as a CUSTOM STATEFUL
+STREAMING operator (north_star asks for Structured Streaming equivalents):
+candidate URLs arrive on a stream, state is the per-host_bucket filter pair
+kept in the streaming state store, and the output stream is the admitted
+(first-ever-seen) URLs. Late/duplicate re-deliveries are absorbed exactly
+like the batch path (T3): a URL already in the bucket's exact set is
+dropped, a bloom false positive is resolved against the exact ids held in
+state.
+
+Differences vs the batch path, by design:
+  - state here also carries the bucket's exact id array (the batch path
+    keeps exact ids in the seen_exact TABLE instead): the streaming state
+    store is the only storage a streaming operator can consult, and ids are
+    8 bytes each — 2M urls/bucket is 16 MB, within state-store practice at
+    the 4096-bucket layout the batch path documents.
+  - output mode is append (admitted urls are immutable facts).
+
+GroupStateTimeout: none — the seen set never expires (a crawl's visited set
+is permanent for the run's lifetime).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import seenset
+
+# state: one row per host_bucket
+_STATE_SCHEMA = "bloom binary, cuckoo binary, ids binary, n_items long"
+_OUTPUT_SCHEMA = "host_bucket int, url_id long, url string"
+
+
+def _dedup_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """One host_bucket's micro-batch: probe -> exact resolve -> admit ->
+    insert, all against the bucket's state-store row."""
+    if state.exists:
+        bloom_b, cuckoo_b, ids_b, _n = state.get
+        bloom = seenset.BlockedBloom.from_bytes(bytes(bloom_b))
+        cuckoo = seenset.CuckooFilter.from_bytes(bytes(cuckoo_b))
+        seen_ids = np.frombuffer(bytes(ids_b), dtype=np.int64)
+    else:
+        bloom = seenset.BlockedBloom.for_capacity(seenset.DEFAULT_PARTITION_CAPACITY)
+        cuckoo = seenset.CuckooFilter.for_capacity(seenset.DEFAULT_PARTITION_CAPACITY)
+        seen_ids = np.zeros(0, dtype=np.int64)
+
+    admitted = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # in-batch keep-first (urls may repeat within one micro-batch)
+        pdf = pdf.drop_duplicates("url_id", keep="first")
+        ids = pdf["url_id"].to_numpy(dtype="int64")
+        maybe = bloom.contains(ids.view(np.uint64))
+        new_mask = ~maybe
+        if maybe.any() and len(seen_ids):
+            # exact resolve: bloom positives not in the exact id set are fp
+            fp = ~np.isin(ids[maybe], seen_ids)
+            new_mask = new_mask.copy()
+            new_mask[np.flatnonzero(maybe)[fp]] = True
+        elif maybe.any():
+            new_mask = np.ones(len(ids), dtype=bool)
+        new = pdf[new_mask]
+        if len(new):
+            new_ids = np.sort(new["url_id"].to_numpy(dtype="int64"))
+            bloom.insert(new_ids.view(np.uint64))
+            cuckoo.insert(new_ids.view(np.uint64))
+            seen_ids = np.concatenate([seen_ids, new_ids])
+            admitted.append(new[["host_bucket", "url_id", "url"]])
+
+    state.update(
+        (
+            bloom.to_bytes(),
+            cuckoo.to_bytes(),
+            np.sort(seen_ids).tobytes(),
+            int(len(seen_ids)),
+        )
+    )
+    if admitted:
+        yield pd.concat(admitted, ignore_index=True)
+
+
+def streaming_dedup(candidates: DataFrame) -> DataFrame:
+    """candidates: a STREAMING DataFrame with (host_bucket int, url_id long,
+    url string). Returns the admitted-urls stream (append mode): each url
+    appears exactly once across the stream's lifetime, first delivery wins."""
+    return candidates.groupBy("host_bucket").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -138,3 +138,30 @@ def test_scored_top_amounts_total_due_wins(spark):
     )
     top = scoring.scored_top_amounts(df, "txt", "doc_id", k=1).first()
     assert top.raw == "$10.00"  # keyword weight beats raw magnitude
+
+
+def test_upsert_records_bucketed_merge_shape(spark, tmp_path):
+    """Partition-pruned upsert: inserts once, keeps existing on conflict,
+    scans only the buckets the batch touches (plan shows a key_bucket
+    partition filter)."""
+    p = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (None, "n")], "k int, v string"
+    )
+    n1 = sinks.upsert_records_bucketed(spark, df1, p, ["k"], n_buckets=8)
+    assert n1 == 3  # 2 deduped in-batch, NULL key counts once
+    # conflicting + new keys: existing win, only new inserted
+    df2 = spark.createDataFrame(
+        [(1, "A-changed"), (3, "c"), (None, "n-again")], "k int, v string"
+    )
+    n2 = sinks.upsert_records_bucketed(spark, df2, p, ["k"], n_buckets=8)
+    assert n2 == 1
+    rows = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c", None: "n"}
+    # idempotence
+    assert sinks.upsert_records_bucketed(spark, df2, p, ["k"], n_buckets=8) == 0
+    # pruning reaches the scan: the existing-side read filters key_bucket
+    from tests.test_plan_shapes import explain
+
+    existing = spark.read.parquet(p).filter(F.col("key_bucket").isin([0, 1]))
+    assert "key_bucket" in explain(existing).split("PartitionFilters")[1][:200]

@@ -46,3 +46,57 @@ def test_streaming_window_agg_matches_batch(spark, sf001, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+# ----------------------- applyInPandasWithState streaming seen-set (T2/T3)
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """URLs delivered across several micro-batches, with duplicates both
+    within and across batches: the admitted stream carries each url exactly
+    once, first delivery wins, state persists across triggers."""
+    import json
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+    from gsccca_tax_records_scraper_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, urls):
+        rows = [
+            {
+                "host_bucket": urltools.host_bucket_of(urltools.url_id(u)),
+                "url_id": urltools.url_id(u),
+                "url": u,
+            }
+            for u in urls
+        ]
+        p = src / f"{name}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    u = [f"https://search.gsccca.org/Lien/liendetails.asp?id={i}" for i in range(40)]
+    write_batch("b0", u[:20] + u[:5])          # in-batch dups
+    write_batch("b1", u[10:30])                # cross-batch dups 10..19
+    write_batch("b2", u[25:40] + u[0:2])       # more cross-batch dups
+
+    stream = (
+        spark.readStream.schema("host_bucket int, url_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admitted_urls")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.url for r in spark.sql("SELECT url FROM admitted_urls").collect()]
+    assert sorted(got) == sorted(u)       # every url exactly once
+    assert len(got) == len(set(got)) == 40
