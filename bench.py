@@ -166,7 +166,25 @@ def _cpu_busy_snapshot() -> tuple[int, int]:
     return sum(vals) - idle, sum(vals)
 
 
-def crawl_workloads(cores: int) -> dict:
+def build_seen_set(spark, out_dir: str) -> None:
+    """Build the N_SEEN-url seen set once (untimed setup, any parallelism:
+    sorted inserts make the state bytes build-layout-independent); every
+    scaling worker reads it instead of rebuilding it per invocation."""
+    from pyspark.sql import functions as F
+
+    from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
+
+    seen_cands = _synth_candidates(spark, N_SEEN, start=0)
+    new0, state0, h0 = dedup_candidates(seen_cands, None, None, 0)
+    new0.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/seen_exact")
+    state0.write.mode("overwrite").parquet(f"{out_dir}/seen_state")
+    for h in h0:
+        h.unpersist()
+
+
+def crawl_workloads(cores: int, seen_dir: str) -> dict:
     """Dedup + fetch throughput at a given parallelism level."""
     busy0, tot0 = _cpu_busy_snapshot()
     from pyspark.sql import functions as F
@@ -177,70 +195,61 @@ def crawl_workloads(cores: int) -> dict:
 
     spark = get_spark(app_name=f"bench_crawl_{cores}", cores=cores,
                       shuffle_partitions=cores * 2)
-    with tempfile.TemporaryDirectory(prefix="bench_seen_") as tmp:
-        # ---- warmup (untimed): spin up + import-warm the Python workers so
-        # the timed sections measure the pipeline, not cold starts ----------
-        warm = _synth_candidates(spark, 32 * 1024, start=0).repartition(cores)
-        _noop_write(
-            warm.select(
-                "url_id", "url",
-                F.col("crawl_order.seed_id").alias("seed_id"),
-                F.col("crawl_order.page").alias("page"),
-                F.col("crawl_order.depth").alias("depth"),
-                F.col("crawl_order.link_order").alias("link_order"),
-            ).mapInPandas(_fetch_parse, _FETCH_SCHEMA)
-        )
-        wn, ws, wh = dedup_candidates(warm, None, None, 0)
-        _noop_write(wn)
-        _noop_write(ws)
-        for h in wh:
-            h.unpersist()
-
-        # ---- setup (untimed): build a 1M-url seen set ----------------------
-        seen_cands = _synth_candidates(spark, N_SEEN, start=0)
-        new0, state0, h0 = dedup_candidates(seen_cands, None, None, 0)
-        new0.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/seen_exact")
-        state0.write.mode("overwrite").parquet(f"{tmp}/seen_state")
-        for h in h0:
-            h.unpersist()
-        seen_exact = spark.read.parquet(f"{tmp}/seen_exact")
-        seen_state = spark.read.parquet(f"{tmp}/seen_state")
-
-        # best-of-3 per workload: this sandbox shows sporadic CPU steal
-        # (~20% historically per /proc/stat, in multi-minute windows), min
-        # over repeats damps the noise
-        td, tf = [], []
-        # the fetch input is materialized (cached + counted) OUTSIDE the
-        # timed region: the timed section measures fetch+parse throughput,
-        # not the synthetic row generator + repartition shuffle
-        granted = _synth_candidates(spark, N_PAGES, start=0).select(
+    # ---- warmup (untimed): spin up + import-warm the Python workers so
+    # the timed sections measure the pipeline, not cold starts ----------
+    warm = _synth_candidates(spark, 32 * 1024, start=0).repartition(cores)
+    _noop_write(
+        warm.select(
             "url_id", "url",
             F.col("crawl_order.seed_id").alias("seed_id"),
             F.col("crawl_order.page").alias("page"),
             F.col("crawl_order.depth").alias("depth"),
             F.col("crawl_order.link_order").alias("link_order"),
-        ).repartition(max(cores * 2, 8)).persist()
-        granted.count()
-        for _ in range(N_REPS):
-            # timed: dedup N_CAND candidates, 50% already in the seen set
-            # (steady-state crawls are dup-heavy, so the bloom-positive +
-            # exact-resolve path must be a real share of the measurement)
-            cands = _synth_candidates(spark, N_CAND, start=0)
-            t0 = time.monotonic()
-            new1, state1, h1 = dedup_candidates(cands, seen_exact, seen_state, 1)
-            _noop_write(new1)
-            _noop_write(state1)
-            td.append(time.monotonic() - t0)
-            for h in h1:
-                h.unpersist()
-            # timed: fetch + parse N_PAGES urls
-            t0 = time.monotonic()
-            _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
-            tf.append(time.monotonic() - t0)
-        # rep 1 is the JVM's first full-scale pass (JIT/heap growth): drop it
-        t_dedup, t_fetch = min(td[1:]), min(tf[1:])
+        ).mapInPandas(_fetch_parse, _FETCH_SCHEMA)
+    )
+    wn, ws, wh = dedup_candidates(warm, None, None, 0)
+    _noop_write(wn)
+    _noop_write(ws)
+    for h in wh:
+        h.unpersist()
+
+    # ---- setup: the seen set was prebuilt once by main() ---------------
+    seen_exact = spark.read.parquet(f"{seen_dir}/seen_exact")
+    seen_state = spark.read.parquet(f"{seen_dir}/seen_state")
+
+    # best-of-3 per workload: this sandbox shows sporadic CPU steal
+    # (~20% historically per /proc/stat, in multi-minute windows), min
+    # over repeats damps the noise
+    td, tf = [], []
+    # the fetch input is materialized (cached + counted) OUTSIDE the
+    # timed region: the timed section measures fetch+parse throughput,
+    # not the synthetic row generator + repartition shuffle
+    granted = _synth_candidates(spark, N_PAGES, start=0).select(
+        "url_id", "url",
+        F.col("crawl_order.seed_id").alias("seed_id"),
+        F.col("crawl_order.page").alias("page"),
+        F.col("crawl_order.depth").alias("depth"),
+        F.col("crawl_order.link_order").alias("link_order"),
+    ).repartition(max(cores * 2, 8)).persist()
+    granted.count()
+    for _ in range(N_REPS):
+        # timed: dedup N_CAND candidates, 50% already in the seen set
+        # (steady-state crawls are dup-heavy, so the bloom-positive +
+        # exact-resolve path must be a real share of the measurement)
+        cands = _synth_candidates(spark, N_CAND, start=0)
+        t0 = time.monotonic()
+        new1, state1, h1 = dedup_candidates(cands, seen_exact, seen_state, 1)
+        _noop_write(new1)
+        _noop_write(state1)
+        td.append(time.monotonic() - t0)
+        for h in h1:
+            h.unpersist()
+        # timed: fetch + parse N_PAGES urls
+        t0 = time.monotonic()
+        _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
+        tf.append(time.monotonic() - t0)
+    # rep 1 is the JVM's first full-scale pass (JIT/heap growth): drop it
+    t_dedup, t_fetch = min(td[1:]), min(tf[1:])
 
     spark.stop()
     busy1, tot1 = _cpu_busy_snapshot()
@@ -365,7 +374,7 @@ def _write_bench_md(payload: dict) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
-        print(json.dumps(crawl_workloads(int(sys.argv[2]))))
+        print(json.dumps(crawl_workloads(int(sys.argv[2]), sys.argv[3])))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -373,6 +382,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     times = run_headline(sf_dir, cores)
+
+    seen_tmp = tempfile.mkdtemp(prefix="bench_seen_")
+    from gsccca_tax_records_scraper_spark.session import get_spark
+
+    setup_spark = get_spark(app_name="bench_seen_build", cores=cores,
+                            shuffle_partitions=cores * 2)
+    build_seen_set(setup_spark, seen_tmp)
+    setup_spark.stop()
 
     # the sandbox host shows multi-minute contention waves that can cover a
     # whole worker's lifetime; running PASSES alternating between core
@@ -385,7 +402,7 @@ def main() -> None:
             # pin the worker to exactly c cpus: in plain local[c] the JVM's
             # GC/shuffle/python-worker threads would still use the whole
             # machine, inflating the low-parallelism baseline
-            cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c)]
+            cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c), seen_tmp]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
             proc = subprocess.run(
@@ -435,6 +452,9 @@ def main() -> None:
         "urls_dedup_per_sec": s32["urls_dedup_per_sec"],
         "scaling": scaling,
     }
+    import shutil
+
+    shutil.rmtree(seen_tmp, ignore_errors=True)
     _write_bench_md(payload)
     print(json.dumps(payload))
 

@@ -125,6 +125,13 @@ _PAYLOAD_COLS = [
 _OUT_SCHEMA = (
     _FLAT_SCHEMA + ", bloom binary, cuckoo binary, n_items long, epoch int"
 )
+_PAYLOAD_DTYPES = {
+    "url_id": "int64", "url": "object", "host": "object", "host_bucket": "int32",
+    "priority": "float64", "co_seed_id": "int64", "co_page": "int32",
+    "co_link_order": "int32", "co_depth": "int32", "status": "object",
+    "lin_parent": "int64", "lin_seed": "int64", "lin_depth": "int32",
+    "lin_epoch": "int32",
+}
 
 
 def _fused_fn(epoch: int, capacity: int):
@@ -217,20 +224,31 @@ def _fused_fn(epoch: int, capacity: int):
             cuckoo.insert(ins)
 
         if new_rows is None or new_rows.empty:
-            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in _PAYLOAD_COLS})
+            out = pd.DataFrame({c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS})
         else:
             out = new_rows[_PAYLOAD_COLS].copy()
         out["bloom"] = None
         out["cuckoo"] = None
         out["n_items"] = 0
         out["epoch"] = 0
-        state_row = {c: [None] for c in _PAYLOAD_COLS}
-        state_row["host_bucket"] = [bucket]
-        state_row = pd.DataFrame(state_row)
+        # the state row's payload cells are TYPED ZEROS, not None: a None in
+        # an int64/str column would degrade the whole concat to object dtype
+        # and turn the pandas->Arrow conversion of the admitted rows into a
+        # per-element crawl (measured ~10x of this function's real work).
+        # State rows are identified by bloom IS NOT NULL; their payload
+        # values are never read.
+        state_row = pd.DataFrame(
+            {
+                c: pd.Series(["" if _PAYLOAD_DTYPES[c] == "object" else 0],
+                             dtype=_PAYLOAD_DTYPES[c])
+                for c in _PAYLOAD_COLS
+            }
+        )
+        state_row["host_bucket"] = np.int32(bucket)
         state_row["bloom"] = [bloom.to_bytes()]
         state_row["cuckoo"] = [cuckoo.to_bytes()]
-        state_row["n_items"] = [int(bloom.n_items)]
-        state_row["epoch"] = [epoch]
+        state_row["n_items"] = np.int64(bloom.n_items)
+        state_row["epoch"] = np.int32(epoch)
         return pd.concat([out, state_row], ignore_index=True)
 
     return fn
