@@ -65,4 +65,9 @@ def test_every_query_has_callable_and_oracle_coverage():
     assert not missing
     # rows-only entries are the documented non-SQL-expressible ones
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ann_lsh_topk", "ann_ivf_topk", "crawl_canonicalize_dedup"}
+    assert rows_only == {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "crawl_canonicalize_dedup",
+        "realestate_entity_frontier",
+    }
