@@ -1054,9 +1054,14 @@ def q_exact_dup(spark, sf):
 
 @_q(
     "ngram_overlap_pairs",
-    "WITH ex AS (SELECT doc_id, unnest(" + _SHINGLES_SQL + ") AS sh FROM documents)"
+    # the df window (2 <= df <= 64) mirrors the engine's frequency pruning
+    # exactly: the max_df stop-shingle cut changes n_common for mixed pairs,
+    # so the oracle must apply the same window (textdedup.ngram_overlap_pairs)
+    "WITH ex AS (SELECT doc_id, unnest(" + _SHINGLES_SQL + ") AS sh FROM documents),"
+    " keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 64),"
+    " exk AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh))"
     " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common"
-    " FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+    " FROM exk a JOIN exk b ON a.sh = b.sh AND a.doc_id < b.doc_id"
     " GROUP BY 1, 2 HAVING count(*) >= 5",
 )
 def q_ngram_pairs(spark, sf):

@@ -161,7 +161,10 @@ NAME_PATS = [
 ]
 LENDER_PATS = [
     r"\b(?:Lender|Mortgagee)\b\s*[:\-]?\s*(.+)",
-    r"\bin\s+favor\s+of\s+(.+?)(?:,|\.)",
+    # trailing \b is part of the reference pattern (realestate_ocr_extractor
+    # .py:44): "in favor of X, <space>..." does NOT match (no word boundary
+    # after the comma) and falls through the cascade
+    r"\bin\s+favor\s+of\s+(.+?)(?:,|\.)\b",
     r"\bto\s+(.+?)\s*\(\s*\"?Lender\"?\s*\)",
 ]
 _MONTH_DATE_RE = re.compile(MONTH_DATE_PAT, re.I)

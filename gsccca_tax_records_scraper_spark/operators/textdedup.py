@@ -79,13 +79,17 @@ def ngram_overlap_pairs(
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
     # frequency pruning, both ends (the bounded-fan-out guarantee at corpus
-    # scale): shingles held by a single doc can't form a pair, and shingles
-    # held by more than max_df docs are stop-shingles — a single shingle in
-    # 10^6 docs would emit ~10^12 join pairs, so the join fan-out must be
-    # capped at max_df^2 per shingle. The low cut is result-identical; the
-    # high cut drops only pairs whose sole evidence is stop-shingles
-    # (max_df=64 sits far above the observed max df at the test scales:
-    # 7 @sf0.01, 25 @sf0.1 — result-identical there).
+    # scale): shingles held by a single doc can't form a pair (the low cut is
+    # result-identical), and shingles held by more than max_df docs are
+    # stop-shingles — a single shingle in 10^6 docs would emit ~10^12 join
+    # pairs, so the join fan-out must be capped at max_df^2 per shingle.
+    # The high cut is a SEMANTIC parameter, not just pruning: dropped
+    # stop-shingles no longer count toward n_common for ANY pair, so a pair
+    # sharing rare + stop shingles reports a lower n_common and may fall
+    # under min_common. The contract oracle in __spark_entry__ applies the
+    # SAME df window, so parity is exact by construction at every df
+    # distribution (observed max df at test scales: 7 @sf0.01, 25 @sf0.1 —
+    # well under the default 64).
     shared = (
         ex.groupBy("sh")
         .agg(F.count("*").alias("__n"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def two_stage_extract(
@@ -28,8 +29,11 @@ def two_stage_extract(
 ) -> DataFrame:
     """Add `cheap` columns to every row; rows where `missing` holds are
     re-derived by `expensive(miss_rows)` (same output schema); hit rows pass
-    through untouched. Row count is preserved; the expensive callable runs
-    over the miss subset only."""
+    through untouched. Row count is preserved: a NULL-valued `missing`
+    predicate (e.g. a comparison on a NULL column) routes the row to the
+    expensive branch (conservative — re-derive rather than silently drop;
+    filter(~NULL) and filter(NULL) would otherwise both exclude it)."""
+    missing = F.coalesce(missing, F.lit(True))
     base = df
     for name, col in cheap.items():
         base = base.withColumn(name, col)

@@ -42,6 +42,7 @@ PARTY_BODIES = [
     'MARY SMITH ("Borrower") conveys to HOMESTEAD SAVINGS ("Lender")',
     "Mortgagee: PEACH STATE CREDIT UNION\nin favor of NOBODY, really",
     "in favor of COASTAL LENDING GROUP,LLC and assigns",
+    "in favor of Acme Lending, a Georgia corporation.",  # trailing-\b miss
     "B" * 300 + ' ("Borrower")',  # truncation path
     "no parties at all",
     "",
@@ -93,6 +94,10 @@ def test_name_lender_cleanup_and_truncation():
         == "COASTAL LENDING GROUP"
     )
     assert len(extract.extract_lender("Mortgagee: " + "L" * 300)) == 140
+    # reference pattern parity (realestate_ocr_extractor.py:44): the trailing
+    # \b makes "in favor of X, <space>..." / "X.<eol>" fall through the
+    # cascade instead of matching at the comma
+    assert extract.extract_lender("in favor of Acme Lending, a Georgia corporation.") == ""
 
 
 def test_cascade_columns_match_python(spark):

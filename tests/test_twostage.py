@@ -41,3 +41,20 @@ def test_expensive_stage_sees_only_misses(spark):
     assert by_source == {"cheap": 60, "roi": 30}
     assert all(r.total == "999.99" for r in got if r.source == "roi")
     assert all(r.total != "" for r in got)
+
+
+def test_null_predicate_routes_to_expensive(spark):
+    """A NULL-valued `missing` predicate must not drop rows: filter(~NULL)
+    and filter(NULL) would both exclude them; the operator coalesces NULL to
+    True (conservative: re-derive)."""
+    df = spark.createDataFrame(
+        [(1, "10"), (2, None), (3, "30")], "doc_id long, raw string"
+    )
+    out = two_stage_extract(
+        df,
+        cheap={"val": F.col("raw").cast("int")},
+        missing=F.col("val") < 20,  # NULL for doc 2
+        expensive=lambda miss: miss.withColumn("val", F.lit(-1)),
+    )
+    got = {r.doc_id: r.val for r in out.collect()}
+    assert got == {1: -1, 2: -1, 3: 30}
