@@ -37,6 +37,47 @@ VIEWER_VAR_RES = {
     name: re.compile(rf"var {name}\s*=\s*(\d+)")
     for name in ("iLienID", "county", "book", "page", "user", "appid")
 }
+# viewer-URL synthesis (F2): the reference assembles the HTML5Viewer URL
+# from the 6 extracted JS vars and stores it as pdf_document_url
+# (lien_index_scraper.py:661-665); the dashboard export equi-looks-up records
+# by this URL (dashboard/views.py:122)
+VIEWER_URL_PREFIX = "https://search.gsccca.org/Imaging/HTML5Viewer.aspx?"
+
+
+def viewer_url(v: dict) -> str:
+    """pdf_document_url from the extracted JS vars; '' when any var is
+    missing (the reference sets pdf_document_url only inside the
+    all-vars-matched branch, lien_index_scraper.py:651-665)."""
+    keys = ("iLienID", "book", "page", "county", "user", "appid")
+    if any(not v.get(k) for k in keys):
+        return ""
+    return (
+        f"{VIEWER_URL_PREFIX}id={v['iLienID']}&key1={v['book']}&key2={v['page']}"
+        f"&county={v['county']}&userid={v['user']}&appid={v['appid']}"
+    )
+
+
+def viewer_url_col(ilienid, book, page, county, user, appid):
+    """JVM-side viewer-URL synthesis — concat under whole-stage codegen;
+    '' when any var is empty/NULL (mirrors `viewer_url`)."""
+    F = _fcol()
+    cols = [ilienid, book, page, county, user, appid]
+    missing = None
+    for c in cols:
+        m = F.coalesce(c.cast("string"), F.lit("")) == ""
+        missing = m if missing is None else (missing | m)
+    return F.when(missing, F.lit("")).otherwise(
+        F.concat(
+            F.lit(VIEWER_URL_PREFIX + "id="), ilienid.cast("string"),
+            F.lit("&key1="), book.cast("string"),
+            F.lit("&key2="), page.cast("string"),
+            F.lit("&county="), county.cast("string"),
+            F.lit("&userid="), user.cast("string"),
+            F.lit("&appid="), appid.cast("string"),
+        )
+    )
+
+
 # doc-info table row (detail page structure, lien_index_scraper.py:614-627)
 DOC_ROW_RE = re.compile(
     r"<tr><td>(COUNTY \d+)</td><td>([^<]*)</td><td>([^<]*)</td><td>[^<]*</td>"
@@ -373,6 +414,9 @@ def parse_detail(url: str, html_text: str, ocr_text: str) -> dict:
     rec["claimants"] = pr.group(1) if pr else ""
     viewer = {k: (rx.search(html_text) or [None, ""])[1] for k, rx in VIEWER_VAR_RES.items()}
     rec["viewer"] = viewer
+    # F2 tail: synthesize the HTML5Viewer pdf_document_url from the vars
+    # (lien_index_scraper.py:661-665)
+    rec["pdf_document_url"] = viewer_url(viewer)
     # OCR-derived fields
     fixed = fix_ocr_noise(ocr_text)
     td = TOTAL_DUE_RE.search(fixed)
@@ -428,10 +472,26 @@ def parse_detail_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out["debtors"] = html_s.str.extract(PARTY_DIRECT_RE, expand=False).fillna("")
     out["claimants"] = html_s.str.extract(PARTY_REVERSE_RE, expand=False).fillna("")
+    # F2: viewer vars -> pdf_document_url, vectorized (one str.extract per
+    # var over the whole Arrow batch); '' when any var missed
+    vv = {
+        name: html_s.str.extract(rx, expand=False).fillna("")
+        for name, rx in VIEWER_VAR_RES.items()
+    }
+    all_present = None
+    for s in vv.values():
+        ok = s != ""
+        all_present = ok if all_present is None else (all_present & ok)
+    synth = (
+        VIEWER_URL_PREFIX + "id=" + vv["iLienID"] + "&key1=" + vv["book"]
+        + "&key2=" + vv["page"] + "&county=" + vv["county"]
+        + "&userid=" + vv["user"] + "&appid=" + vv["appid"]
+    )
+    out["pdf_document_url"] = synth.where(all_present, "")
     # blank out fields of cancelled docs (parse skipped in reference)
     cancelled = out["cancelled"]
     for c in ("county", "instrument", "date_filed", "book", "page_no",
-              "description", "amount", "debtors", "claimants"):
+              "description", "amount", "debtors", "claimants", "pdf_document_url"):
         out.loc[cancelled, c] = ""
     out.loc[cancelled, "amount_value"] = None
     addr = ocr_s.str.extract(ADDRESS_LINE_RE, expand=False).fillna("")

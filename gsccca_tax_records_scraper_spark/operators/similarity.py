@@ -64,6 +64,22 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rs.normal(size=(n_planes, dim)).astype(float).tolist()
 
 
+def rademacher_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """±1 sign-LSH hyperplanes derived from md5("i#j") — a valid random-
+    hyperplane family (Rademacher entries), chosen because the exact same
+    planes are reproducible in ANSI SQL: the contract oracle rebuilds them
+    from md5, which RandomState gaussians can't do."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}#{j}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from deterministic random hyperplanes (JVM-side)."""
     bucket = F.lit(0)
@@ -83,10 +99,15 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing the query's LSH
-    bucket. Recall < 1; the candidate set shrinks ~2^n_planes-fold."""
-    planes = _random_planes(dim, n_planes, seed)
+    bucket. Recall < 1; the candidate set shrinks ~2^n_planes-fold. Pass
+    `planes` (e.g. rademacher_planes) to pin the hash family — the contract
+    oracle uses the md5-derived Rademacher family so DuckDB reproduces the
+    bucketing exactly."""
+    if planes is None:
+        planes = _random_planes(dim, n_planes, seed)
     b = base.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

@@ -42,7 +42,7 @@ _FETCH_SCHEMA = (
     "doc_id string, county string, instrument string, date_filed string, "
     "book string, page_no string, debtors string, claimants string, "
     "amount string, amount_value double, address string, description string, "
-    "media_ref string, cancelled boolean, ocr_text string, "
+    "pdf_document_url string, media_ref string, cancelled boolean, ocr_text string, "
     "outlink_urls array<string>"
 )
 
@@ -106,7 +106,8 @@ def _fetch_parse(it):
         )
         for c in (
             "county", "instrument", "date_filed", "book", "page_no", "debtors",
-            "claimants", "amount", "amount_value", "address", "description", "cancelled",
+            "claimants", "amount", "amount_value", "address", "description",
+            "pdf_document_url", "cancelled",
         ):
             out[c] = parsed[c].values
         out.loc[out["cancelled"], "media_ref"] = ""
@@ -363,7 +364,7 @@ class CrawlEngine:
         records = fetched.select(
             "doc_id", "url_id", "url", "county", "instrument", "date_filed",
             "book", "page_no", "debtors", "claimants", "amount", "amount_value",
-            "address", "description", "media_ref", "cancelled",
+            "address", "description", "pdf_document_url", "media_ref", "cancelled",
             F.lit(epoch).cast("int").alias("epoch"),
             F.struct(
                 F.col("seed_id"), F.col("page"), F.col("link_order"), F.col("depth")

@@ -94,6 +94,22 @@ def test_cancelled_docs_marked_done_but_unparsed(crawl):
             assert url not in sim.spans  # no spans emitted
 
 
+def test_viewer_url_synthesis(crawl):
+    """F2 tail: pdf_document_url assembled from the 6 viewer JS vars
+    (lien_index_scraper.py:661-665) must match the simulator's Python path
+    row-for-row; cancelled docs carry ''."""
+    eng, sim = crawl
+    sim_by_url = {r["url"]: r for r in sim.records}
+    rows = eng.records().collect()
+    assert any(r.pdf_document_url for r in rows)
+    for r in rows:
+        assert r.pdf_document_url == sim_by_url[r.url].get("pdf_document_url", ""), r.url
+        if not r.cancelled:
+            assert r.pdf_document_url.startswith(
+                "https://search.gsccca.org/Imaging/HTML5Viewer.aspx?id="
+            )
+
+
 def test_metrics_recorded(crawl):
     eng, sim = crawl
     m = {(r.epoch, r.metric): r.value for r in eng.metrics().collect()}
