@@ -51,6 +51,7 @@ N_CAND = 24_000_000  # starts at 0 -> 50% of candidates are already seen
 N_PAGES = 2_400_000
 N_REPS = 3  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
 N_PASSES = 2  # each worker runs twice, alternating core counts (see main)
+QUIET_RETRIES = 2  # extra passes per config when every pass saw a busy host
 CAL_N = 40_000_000  # sha1 iterations for the pure-CPU calibration
 
 HEADLINE = [
@@ -166,19 +167,47 @@ def _cpu_busy_snapshot() -> tuple[int, int]:
     return sum(vals) - idle, sum(vals)
 
 
+def _tree_cpu_ticks() -> int:
+    """CPU ticks consumed by THIS process subtree (self + live descendants
+    via their /proc stat + reaped descendants via cutime/cstime). Subtracting
+    it from the host busy delta isolates EXTERNAL contention — a 32-core
+    worker's own load legitimately drives host_busy to ~0.7, so raw busy
+    cannot gate quiet-host measurement windows."""
+    me = os.getpid()
+    info: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        # post-comm fields: 1=ppid, 11=utime, 12=stime, 13=cutime, 14=cstime
+        info[int(d)] = (int(parts[1]), sum(map(int, parts[11:15])))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _t) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            total += info[p][1]
+            stack.extend(kids.get(p, []))
+    return total
+
+
 def build_seen_set(spark, out_dir: str) -> None:
     """Build the N_SEEN-url seen set once (untimed setup, any parallelism:
-    sorted inserts make the state bytes build-layout-independent); every
-    scaling worker reads it instead of rebuilding it per invocation."""
-    from pyspark.sql import functions as F
-
+    canonical-order inserts make the state bytes build-layout-independent);
+    every scaling worker reads it instead of rebuilding it per invocation.
+    The state snapshot carries the whole seen set (filters + packed exact
+    keys), so it is the only table the dedup path needs."""
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
 
     seen_cands = _synth_candidates(spark, N_SEEN, start=0)
-    new0, state0, h0 = dedup_candidates(seen_cands, None, None, 0)
-    new0.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/seen_exact")
+    new0, state0, h0 = dedup_candidates(seen_cands, None, 0)
+    _noop_write(new0)
     state0.write.mode("overwrite").parquet(f"{out_dir}/seen_state")
     for h in h0:
         h.unpersist()
@@ -187,6 +216,7 @@ def build_seen_set(spark, out_dir: str) -> None:
 def crawl_workloads(cores: int, seen_dir: str) -> dict:
     """Dedup + fetch throughput at a given parallelism level."""
     busy0, tot0 = _cpu_busy_snapshot()
+    own0 = _tree_cpu_ticks()
     from pyspark.sql import functions as F
 
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
@@ -207,14 +237,13 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
             F.col("crawl_order.link_order").alias("link_order"),
         ).mapInPandas(_fetch_parse, _FETCH_SCHEMA)
     )
-    wn, ws, wh = dedup_candidates(warm, None, None, 0)
+    wn, ws, wh = dedup_candidates(warm, None, 0)
     _noop_write(wn)
     _noop_write(ws)
     for h in wh:
         h.unpersist()
 
     # ---- setup: the seen set was prebuilt once by main() ---------------
-    seen_exact = spark.read.parquet(f"{seen_dir}/seen_exact")
     seen_state = spark.read.parquet(f"{seen_dir}/seen_state")
 
     # best-of-3 per workload: this sandbox shows sporadic CPU steal
@@ -238,7 +267,7 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         # exact-resolve path must be a real share of the measurement)
         cands = _synth_candidates(spark, N_CAND, start=0)
         t0 = time.monotonic()
-        new1, state1, h1 = dedup_candidates(cands, seen_exact, seen_state, 1)
+        new1, state1, h1 = dedup_candidates(cands, seen_state, 1)
         _noop_write(new1)
         _noop_write(state1)
         td.append(time.monotonic() - t0)
@@ -252,10 +281,15 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     t_dedup, t_fetch = min(td[1:]), min(tf[1:])
 
     spark.stop()
+    own1 = _tree_cpu_ticks()
     busy1, tot1 = _cpu_busy_snapshot()
     return {
         "cores": cores,
         "host_busy_frac": round((busy1 - busy0) / max(tot1 - tot0, 1), 3),
+        # external contention: host busy MINUS this worker's own subtree cpu
+        "host_busy_ext_frac": round(
+            max(0, (busy1 - busy0) - (own1 - own0)) / max(tot1 - tot0, 1), 3
+        ),
         "t_dedup_sec": round(t_dedup, 3),
         "t_fetch_sec": round(t_fetch, 3),
         "t_dedup_reps": [round(t, 2) for t in td],
@@ -264,6 +298,56 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         "t_bw_sec": round(bandwidth_calibration(cores), 3),
         "urls_dedup_per_sec": round(N_CAND / t_dedup, 1),
         "pages_per_sec": round(N_PAGES / t_fetch, 1),
+    }
+
+
+def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict:
+    """O(batch) evidence (r2 verdict #2): run `n_epochs` successive
+    epochs of n_cand FRESH candidates each against a GROWING seen set
+    (n_cand, 2*n_cand, ... urls). With the seen set carried as packed key
+    arrays in the state row, per-epoch time must stay near-flat — the old
+    design's O(|seen|) Arrow row materialization grew it linearly."""
+    from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
+    from gsccca_tax_records_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_growth_{cores}", cores=cores,
+                      shuffle_partitions=cores * 2)
+    # warmup at full batch scale (JIT/heap), discarded
+    warm = _synth_candidates(spark, n_cand, start=0)
+    wn, ws, wh = dedup_candidates(warm, None, 0)
+    _noop_write(wn)
+    _noop_write(ws)
+    for h in wh:
+        h.unpersist()
+
+    times, seen_sizes = [], []
+    state = None
+    handles: list = []
+    for e in range(n_epochs):
+        cands = _synth_candidates(spark, n_cand, start=e * n_cand)
+        t0 = time.monotonic()
+        new_rows, state_new, h = dedup_candidates(cands, state, e)
+        _noop_write(new_rows)
+        state_new = state_new.localCheckpoint()  # materialize state for next epoch
+        times.append(round(time.monotonic() - t0, 3))
+        seen_sizes.append((e + 1) * n_cand)
+        for hh in handles:
+            hh.unpersist()
+        handles = h
+        state = state_new
+    for hh in handles:
+        hh.unpersist()
+    spark.stop()
+    # flatness compares the LAST epoch (largest seen set) to the SECOND
+    # (first epoch that probes a non-empty seen set; epoch 0 also absorbs
+    # residual JIT warmup) — O(|seen|) behavior would show ~n_epochs x here
+    base = times[1] if len(times) > 2 else times[0]
+    return {
+        "cores": cores,
+        "n_cand_per_epoch": n_cand,
+        "seen_before_epoch": [0] + seen_sizes[:-1],
+        "t_epoch_sec": times,
+        "flatness_last_vs_second": round(times[-1] / base, 3),
     }
 
 
@@ -300,9 +384,14 @@ def _write_bench_md(payload: dict) -> None:
         "reps 2+ of each pass then min across passes (rep 1 is the JVM's",
         "full-scale JIT/heap warmup; alternation keeps one of this host's",
         "multi-minute contention waves from poisoning every sample of one",
-        f"config — each worker records its host_busy_frac: ",
-        f"8-core {payload['scaling']['local8']['host_busy_frac']},"
-        f" 32-core {payload['scaling']['local32']['host_busy_frac']}).",
+        "config, and a config whose every pass saw EXTERNAL contention",
+        "> 15% of the machine is re-run up to 2 extra passes — external =",
+        "host busy minus the worker's own process-subtree cpu, so the",
+        "worker's own load cannot trip the gate. Per pass:",
+        f"8-core busy {payload['scaling']['local8']['host_busy_frac']}"
+        f" / external {payload['scaling']['local8']['host_busy_ext_frac']};"
+        f" 32-core busy {payload['scaling']['local32']['host_busy_frac']}"
+        f" / external {payload['scaling']['local32']['host_busy_ext_frac']}).",
         "Each worker also measures, under",
         "its own pinned mask, TWO hardware calibrations that bound what ANY",
         "job can scale to on this box:",
@@ -362,6 +451,29 @@ def _write_bench_md(payload: dict) -> None:
         "that a real cluster's aggregate network removes. The engine RUNS",
         "fine under it (get_spark(executors=(n,cores,mem)) is supported).",
         "",
+        "## Dedup O(batch) evidence (growing seen set)",
+        "",
+        "The seen set rides IN the per-bucket state row (filters + packed",
+        "sorted key arrays), so per-epoch dedup cost is dominated by the",
+        "BATCH, not the crawl's history. Successive same-size epochs against",
+        "a growing seen set:",
+        "",
+        "| epoch | seen before | t (sec) |",
+        "|---|---|---|",
+        *[
+            f"| {i} | {s:,} | {t} |"
+            for i, (s, t) in enumerate(
+                zip(payload["dedup_growth"]["seen_before_epoch"],
+                    payload["dedup_growth"]["t_epoch_sec"])
+            )
+        ],
+        "",
+        f"flatness (last epoch / second epoch): "
+        f"**{payload['dedup_growth']['flatness_last_vs_second']}** while the seen set "
+        f"grew {max(1, len(payload['dedup_growth']['t_epoch_sec']) - 1)}x "
+        "(an O(|seen|) design would grow proportionally; epoch 0 absorbs "
+        "residual JIT warmup).",
+        "",
         "## Headline query times (sec)",
         "",
         "| query | sec |",
@@ -375,6 +487,9 @@ def _write_bench_md(payload: dict) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
         print(json.dumps(crawl_workloads(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--growth-worker":
+        print(json.dumps(dedup_growth(int(sys.argv[2]))))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -396,25 +511,45 @@ def main() -> None:
     # counts and min-merging makes a single wave unable to poison both
     # passes of the same config, and the per-worker host_busy_frac makes
     # any residual contention visible in the record
+    def run_worker(c: int) -> dict:
+        # pin the worker to exactly c cpus: in plain local[c] the JVM's
+        # GC/shuffle/python-worker threads would still use the whole
+        # machine, inflating the low-parallelism baseline
+        cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c), seen_tmp]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, cwd=str(REPO),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for _pass in range(N_PASSES):
         for c in (8, 32):
-            # pin the worker to exactly c cpus: in plain local[c] the JVM's
-            # GC/shuffle/python-worker threads would still use the whole
-            # machine, inflating the low-parallelism baseline
-            cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c), seen_tmp]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, check=True, cwd=str(REPO),
-            )
-            runs[c].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            runs[c].append(run_worker(c))
+    # quiet-host gate (r2 verdict #3): a config whose EVERY pass saw real
+    # EXTERNAL contention (host busy minus this worker's own subtree cpu
+    # > 15% of the machine) gets up to QUIET_RETRIES extra passes, so the
+    # recorded min comes from a window the measurement actually owned.
+    for c in (8, 32):
+        for _retry in range(QUIET_RETRIES):
+            if min(r["host_busy_ext_frac"] for r in runs[c]) <= 0.15:
+                break
+            runs[c].append(run_worker(c))
+
+    # O(batch) evidence: per-epoch dedup time vs a growing seen set
+    gcmd = [sys.executable, str(REPO / "bench.py"), "--growth-worker", "32"]
+    if os.path.exists("/usr/bin/taskset"):
+        gcmd = ["taskset", "-c", "0-31"] + gcmd
+    gproc = subprocess.run(gcmd, capture_output=True, text=True, check=True, cwd=str(REPO))
+    growth = json.loads(gproc.stdout.strip().splitlines()[-1])
 
     scaling_raw = {}
     for c in (8, 32):
         merged = {
             "cores": c,
             "host_busy_frac": [r["host_busy_frac"] for r in runs[c]],
+            "host_busy_ext_frac": [r["host_busy_ext_frac"] for r in runs[c]],
             "t_dedup_sec": min(r["t_dedup_sec"] for r in runs[c]),
             "t_fetch_sec": min(r["t_fetch_sec"] for r in runs[c]),
             "t_dedup_reps": [t for r in runs[c] for t in r["t_dedup_reps"]],
@@ -451,6 +586,7 @@ def main() -> None:
         "pages_per_sec": s32["pages_per_sec"],
         "urls_dedup_per_sec": s32["urls_dedup_per_sec"],
         "scaling": scaling,
+        "dedup_growth": growth,
     }
     import shutil
 

@@ -25,7 +25,11 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-N_HOST_BUCKETS = 64  # seen-set state shards; at 10^10 urls raise to ~4096
+# seen-set state shards (the DEFAULT fan-out; at 10^10 urls start at ~4096).
+# The engine DOUBLES the fan-out at runtime when a bucket's seen count
+# crosses its split threshold (dedup.split_seen_state; the committed value
+# rides in the checkpoint manifest), so this is a starting point, not a cap.
+N_HOST_BUCKETS = 64
 
 # JS wrapper: fnSubmitThisForm('<href>')  (lien_index_scraper.py:455-467)
 JS_WRAPPER_RE = re.compile(r"fnSubmitThisForm\('([^']+)'\)")
@@ -45,12 +49,12 @@ def url_id_col(url: Column) -> Column:
     return F.conv(F.substring(F.sha1(url), 1, 15), 16, 10).cast("long")
 
 
-def host_bucket_of(uid: int) -> int:
-    return uid % N_HOST_BUCKETS
+def host_bucket_of(uid: int, n_buckets: int = N_HOST_BUCKETS) -> int:
+    return uid % n_buckets
 
 
-def host_bucket_col(uid: Column) -> Column:
-    return (uid % F.lit(N_HOST_BUCKETS)).cast("int")
+def host_bucket_col(uid: Column, n_buckets: int = N_HOST_BUCKETS) -> Column:
+    return (uid % F.lit(n_buckets)).cast("int")
 
 
 def extract_raw_hrefs(html_text: str) -> list[str]:

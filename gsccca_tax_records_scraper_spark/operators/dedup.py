@@ -1,45 +1,61 @@
-"""Frontier URL dedup: J1 as a bloom-prefiltered exact anti-join (SURVEY J1/T2).
+"""Frontier URL dedup: J1 as a bloom-prefiltered exact membership check
+(SURVEY J1/T2), with the seen set carried IN the per-bucket state row.
 
 Reference semantics: keep the FIRST occurrence of each URL, in discovery
 order (ordered-dict dedup realestate_index_scraper.py:474; drop_duplicates
 :510). Scale design (north_star):
 
-  ONE cogroup   candidates (full payload, flattened) union'd with the seen
-                set's slim keys, cogrouped on host_bucket with the bucket's
-                filter state. host_bucket is a pure function of url_id, so
-                every duplicate of a url lands in the same group. Inside
-                (numpy/pandas, vectorized):
+  ONE cogroup   candidate rows (full payload, flattened) cogrouped on
+                host_bucket with the bucket's state row. host_bucket is a
+                pure function of url_id, so every duplicate of a url lands
+                in the same group. The state row carries the bucket's ENTIRE
+                seen set: blocked-Bloom + cuckoo filter bytes PLUS the
+                sorted exact key arrays (60-bit sha1 url_id + independent
+                64-bit xxhash64, packed int64 binary — 16 bytes/url, no row
+                materialization). Inside (numpy/pandas, vectorized):
                 (a) keep-first: np.lexsort on (url_id, depth, seed, page,
                     link_order, parent) + first-occurrence mask — the
                     group-local keep-first IS the global keep-first;
                 (b) blocked-Bloom probe — negatives are DEFINITELY new;
-                (c) positives resolve EXACTLY against the bucket's seen keys
-                    (128-bit identity: 60-bit sha1 url_id + independent
-                    64-bit xxhash64 — collision odds ~1e-18 at 10^10 urls);
-                (d) confirmed-new ids insert into bloom+cuckoo (sorted first
-                    so the state bytes are partition-layout-independent);
+                (c) positives resolve EXACTLY against the bucket's sorted
+                    key arrays via np.searchsorted (128-bit identity:
+                    collision odds ~1e-18 at 10^10 urls);
+                (d) confirmed-new keys merge-insert into the sorted arrays
+                    and into bloom+cuckoo (canonical (id,h) order first, so
+                    the state bytes are partition-layout-independent);
                 (e) a bucket whose filters would overflow REBUILDS them at
-                    doubled capacity from the seen+new ids in hand.
+                    doubled capacity from the merged key array in hand.
                 Output = the kept-first NEW rows (full payload) + one state
                 row per bucket.
 
-Per epoch that is ONE shuffle and ONE JVM<->Python crossing, with no join
-and no aggregation at all. The previous shapes — keep-first as a JVM
-min(struct) groupBy + probe/insert cogroups + exact-resolve joins — lose to
-this on two counts at any scale: min over a struct (or any var-width type)
-compiles to SortAggregate, i.e. two full sorts of the batch per epoch, and
-the extra stages' fixed costs throttled N->4N scaling efficiency. The
-decision remains exact w.r.t. the seen SET; the filters only skip work
+Per epoch that is ONE shuffle and ONE JVM<->Python crossing, no join and no
+aggregation. Crucially the per-epoch ARROW cost is O(batch) rows + the
+bucket's state BYTES: the previous design unioned the whole seen set into
+the cogroup input as zero-padded rows (~60 bytes/row through Arrow + a
+pandas MultiIndex probe per epoch — the r2 verdict's #1 scale-killer); the
+packed key arrays cross as single binary cells at memcpy speed (16
+bytes/url) and probe via searchsorted, so per-epoch dedup time is dominated
+by the batch, not the crawl's history (bench.py --growth evidences the
+near-flat epoch time as the seen set grows).
+
+At 10^10 urls the state is ~160 GB across 4096 buckets (~40 MB/bucket —
+fine per task). Storage-bucketing seen_state by host_bucket removes the
+state-side shuffle on a real cluster (written per-bucket; the cogroup reads
+co-located partitions). The per-epoch snapshot write of state is the
+remaining O(|seen|) I/O; at 10^10 the arrays would move to immutable sorted
+segments referenced by the state row (only the merged tail rewritten per
+epoch) — the sandbox keeps the single-array form, which is exact and
+layout-independent at every scale the tests and bench reach.
+
+The decision remains exact w.r.t. the seen SET; the filters only skip work
 (bloom-negative skips the resolve), never claim "seen" on their own. The
 cuckoo table is maintained for the deletion / recrawl-revocation capability
 (north_star): removing a url from a bloom is impossible, from the cuckoo it
 is an O(1) fingerprint delete.
 
-At 10^10 urls the seen keys are 16 bytes/row; shipping a bucket's keys
-through Arrow is the same order as the JVM shuffle the exact-resolve join
-needed anyway, and storage-bucketing seen_exact by host_bucket removes even
-that shuffle on a real cluster (parquet written per-bucket; the cogroup then
-reads co-located partitions).
+The `seen_exact` checkpoint table is still WRITTEN per epoch (export,
+lineage, and disaster rebuild all read it) but the hot dedup path no longer
+reads it at all.
 """
 
 from __future__ import annotations
@@ -64,7 +80,11 @@ _FLAT_SCHEMA = (
     "co_seed_id long, co_page int, co_link_order int, co_depth int, "
     "status string, lin_parent long, lin_seed long, lin_depth int, lin_epoch int"
 )
-_STATE_SCHEMA = "host_bucket int, bloom binary, cuckoo binary, n_items long, epoch int"
+_STATE_SCHEMA = (
+    "host_bucket int, bloom binary, cuckoo binary, ids binary, hs binary, "
+    "n_items long, epoch int"
+)
+_STATE_COLS = ["host_bucket", "bloom", "cuckoo", "ids", "hs", "n_items", "epoch"]
 
 
 def order_cols() -> list:
@@ -123,7 +143,8 @@ _PAYLOAD_COLS = [
     "status", "lin_parent", "lin_seed", "lin_depth", "lin_epoch",
 ]
 _OUT_SCHEMA = (
-    _FLAT_SCHEMA + ", bloom binary, cuckoo binary, n_items long, epoch int"
+    _FLAT_SCHEMA
+    + ", bloom binary, cuckoo binary, ids binary, hs binary, n_items long, epoch int"
 )
 _PAYLOAD_DTYPES = {
     "url_id": "int64", "url": "object", "host": "object", "host_bucket": "int32",
@@ -134,101 +155,141 @@ _PAYLOAD_DTYPES = {
 }
 
 
+def probe_sorted_keys(
+    seen_ids: np.ndarray, seen_hs: np.ndarray, q_ids: np.ndarray, q_hs: np.ndarray
+) -> np.ndarray:
+    """Exact 128-bit membership of (q_ids, q_hs) in the (id-sorted) seen key
+    arrays: two searchsorted passes + a direct compare for the (dominant)
+    unique-id case; the ultra-rare 60-bit id collision ranges are scanned."""
+    lo = np.searchsorted(seen_ids, q_ids, side="left")
+    hi = np.searchsorted(seen_ids, q_ids, side="right")
+    found = np.zeros(len(q_ids), dtype=bool)
+    one = hi - lo == 1
+    if one.any():
+        found[one] = seen_hs[lo[one]] == q_hs[one]
+    for j in np.flatnonzero(hi - lo > 1):
+        found[j] = bool((seen_hs[lo[j]:hi[j]] == q_hs[j]).any())
+    return found
+
+
+def _merge_sorted_keys(
+    seen_ids: np.ndarray, seen_hs: np.ndarray, new_ids: np.ndarray, new_hs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge the (id,h)-sorted new block into the sorted seen arrays.
+    np.insert with searchsorted positions is a linear merge; the result stays
+    grouped by id (probe correctness) and is deterministic in canonical
+    (id,h) block order (state-byte layout independence)."""
+    if not len(new_ids):
+        return seen_ids, seen_hs
+    if not len(seen_ids):
+        return new_ids, new_hs
+    pos = np.searchsorted(seen_ids, new_ids, side="left")
+    return np.insert(seen_ids, pos, new_ids), np.insert(seen_hs, pos, new_hs)
+
+
 def _fused_fn(epoch: int, capacity: int):
-    """Cogroup body: keep-first + probe + exact-resolve + insert (+ rebuild
-    on overflow). left = flattened candidate rows (full payload, is_seen
-    False) union'd with the seen set's keys (payload zero-filled — nulls
-    would demote int64 columns to float64 in pandas and corrupt 60-bit ids);
-    right = the bucket's state row. Returns the kept-first NEW candidate
-    rows (state columns NULL) plus exactly one state row (bloom non-NULL)."""
+    """Cogroup body: keep-first + probe + exact-resolve + merge-insert
+    (+ rebuild on overflow). left = flattened candidate rows (full payload +
+    url_h); right = the bucket's state row, which carries the bucket's whole
+    seen set (filters + packed sorted key arrays). Returns the kept-first
+    NEW candidate rows (state columns NULL) plus exactly one state row
+    (bloom non-NULL)."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty_payload = {c: pd.Series([], dtype="object") for c in _PAYLOAD_COLS}
         if left.empty and right.empty:
-            out = pd.DataFrame(empty_payload)
-            out["bloom"] = pd.Series([], dtype="object")
-            out["cuckoo"] = pd.Series([], dtype="object")
+            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in _PAYLOAD_COLS})
+            for c in ("bloom", "cuckoo", "ids", "hs"):
+                out[c] = pd.Series([], dtype="object")
             out["n_items"] = pd.Series([], dtype="int64")
             out["epoch"] = pd.Series([], dtype="int32")
             return out
         if right.empty:
+            # genuinely unseen bucket: the state row IS the seen set, so an
+            # absent row means an empty seen set (no seen-ids-without-state
+            # desync is possible by construction — r2 ADVICE #4)
             bloom = seenset.BlockedBloom.for_capacity(capacity)
             cuckoo = seenset.CuckooFilter.for_capacity(capacity)
+            seen_ids = np.zeros(0, dtype=np.int64)
+            seen_hs = np.zeros(0, dtype=np.int64)
             bucket = int(left["host_bucket"].iloc[0])
         else:
             bloom = seenset.BlockedBloom.from_bytes(bytes(right["bloom"].iloc[0]))
             cuckoo = seenset.CuckooFilter.from_bytes(bytes(right["cuckoo"].iloc[0]))
+            seen_ids = np.frombuffer(bytes(right["ids"].iloc[0]), dtype=np.int64)
+            seen_hs = np.frombuffer(bytes(right["hs"].iloc[0]), dtype=np.int64)
             bucket = int(right["host_bucket"].iloc[0])
 
         new_rows = None
-        new_ids = np.zeros(0, dtype="int64")
-        seen_ids = np.zeros(0, dtype="int64")
+        new_ids = np.zeros(0, dtype=np.int64)
+        new_hs = np.zeros(0, dtype=np.int64)
         if not left.empty:
-            is_seen = left["is_seen"].to_numpy(dtype=bool)
-            cand = left[~is_seen]
-            seen_ids = left["url_id"].to_numpy(dtype="int64")[is_seen]
-            seen_h = left["url_h"].to_numpy(dtype="int64")[is_seen]
-            if len(cand):
-                ids = cand["url_id"].to_numpy(dtype="int64")
-                # (a) keep-first per url_id in total crawl order: lexsort
-                # keys are listed minor-first, url_id last = primary
-                order = np.lexsort(
-                    (
-                        cand["lin_parent"].to_numpy(dtype="int64"),
-                        cand["co_link_order"].to_numpy(dtype="int64"),
-                        cand["co_page"].to_numpy(dtype="int64"),
-                        cand["co_seed_id"].to_numpy(dtype="int64"),
-                        cand["co_depth"].to_numpy(dtype="int64"),
-                        ids,
-                    )
+            ids = left["url_id"].to_numpy(dtype="int64")
+            # (a) keep-first per url_id in total crawl order: lexsort keys
+            # are listed minor-first, url_id last = primary
+            order = np.lexsort(
+                (
+                    left["lin_parent"].to_numpy(dtype="int64"),
+                    left["co_link_order"].to_numpy(dtype="int64"),
+                    left["co_page"].to_numpy(dtype="int64"),
+                    left["co_seed_id"].to_numpy(dtype="int64"),
+                    left["co_depth"].to_numpy(dtype="int64"),
+                    ids,
                 )
-                ids_sorted = ids[order]
-                first_mask = np.empty(len(order), dtype=bool)
-                first_mask[0] = True
-                first_mask[1:] = ids_sorted[1:] != ids_sorted[:-1]
-                kept_idx = order[first_mask]
-                kept = cand.iloc[kept_idx]
-                kept_ids = ids[kept_idx]
-                # (b) bloom probe: negatives are definitely new
-                maybe = bloom.contains(kept_ids.view(np.uint64))
-                # (c) exact resolve of the maybes against the seen 128-bit keys
-                if maybe.any() and len(seen_ids):
-                    kept_h = kept["url_h"].to_numpy(dtype="int64")[maybe]
-                    key_seen = pd.MultiIndex.from_arrays([seen_ids, seen_h])
-                    key_maybe = pd.MultiIndex.from_arrays([kept_ids[maybe], kept_h])
-                    truly_seen = key_maybe.isin(key_seen)
-                    new_sel = ~maybe
-                    new_sel[np.flatnonzero(maybe)[~truly_seen]] = True
-                else:
-                    # no seen keys in this bucket: any bloom positive is a
-                    # false positive -> everything kept is new
-                    new_sel = np.ones(len(kept_ids), dtype=bool)
-                new_rows = kept[new_sel]
-                new_ids = kept_ids[new_sel]
+            )
+            ids_sorted = ids[order]
+            first_mask = np.empty(len(order), dtype=bool)
+            first_mask[0] = True
+            first_mask[1:] = ids_sorted[1:] != ids_sorted[:-1]
+            kept_idx = order[first_mask]
+            kept = left.iloc[kept_idx]
+            kept_ids = ids[kept_idx]
+            kept_hs = kept["url_h"].to_numpy(dtype="int64")
+            # (b) bloom probe: negatives are definitely new
+            maybe = bloom.contains(kept_ids.view(np.uint64))
+            # (c) exact resolve of the maybes against the sorted key arrays
+            if maybe.any() and len(seen_ids):
+                truly_seen = probe_sorted_keys(
+                    seen_ids, seen_hs, kept_ids[maybe], kept_hs[maybe]
+                )
+                new_sel = ~maybe
+                new_sel[np.flatnonzero(maybe)[~truly_seen]] = True
+            else:
+                # no seen keys in this bucket: any bloom positive is a
+                # false positive -> everything kept is new
+                new_sel = np.ones(len(kept_ids), dtype=bool)
+            new_rows = kept[new_sel]
+            new_ids = kept_ids[new_sel]
+            new_hs = kept_hs[new_sel]
 
-        # (d)/(e) insert, rebuilding at doubled capacity on overflow; ids are
-        # sorted first so state bytes are independent of partition layout
-        total = bloom.n_items + len(new_ids)
+        # canonical (id, h) order for the inserted block: state bytes must
+        # not depend on partition layout
+        if len(new_ids):
+            o = np.lexsort((new_hs, new_ids))
+            new_ids, new_hs = new_ids[o], new_hs[o]
+        # (d)/(e) merge + insert, rebuilding at doubled capacity on overflow
+        seen_ids, seen_hs = _merge_sorted_keys(seen_ids, seen_hs, new_ids, new_hs)
+        total = len(seen_ids)
         if total > bloom.capacity:
             cap = bloom.capacity
             while total > cap:
                 cap *= 2
             bloom = seenset.BlockedBloom.for_capacity(cap)
             cuckoo = seenset.CuckooFilter.for_capacity(cap)
-            all_ids = np.sort(np.concatenate([seen_ids, new_ids])).view(np.uint64)
-            bloom.insert(all_ids)
-            cuckoo.insert(all_ids)
+            bloom.insert(seen_ids.view(np.uint64))
+            cuckoo.insert(seen_ids.view(np.uint64))
         elif len(new_ids):
-            ins = np.sort(new_ids).view(np.uint64)
-            bloom.insert(ins)
-            cuckoo.insert(ins)
+            bloom.insert(new_ids.view(np.uint64))
+            cuckoo.insert(new_ids.view(np.uint64))
+        bloom.n_items = total
 
         if new_rows is None or new_rows.empty:
-            out = pd.DataFrame({c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS})
+            out = pd.DataFrame(
+                {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
+            )
         else:
             out = new_rows[_PAYLOAD_COLS].copy()
-        out["bloom"] = None
-        out["cuckoo"] = None
+        for c in ("bloom", "cuckoo", "ids", "hs"):
+            out[c] = None
         out["n_items"] = 0
         out["epoch"] = 0
         # the state row's payload cells are TYPED ZEROS, not None: a None in
@@ -247,24 +308,74 @@ def _fused_fn(epoch: int, capacity: int):
         state_row["host_bucket"] = np.int32(bucket)
         state_row["bloom"] = [bloom.to_bytes()]
         state_row["cuckoo"] = [cuckoo.to_bytes()]
-        state_row["n_items"] = np.int64(bloom.n_items)
+        state_row["ids"] = [seen_ids.tobytes()]
+        state_row["hs"] = [seen_hs.tobytes()]
+        state_row["n_items"] = np.int64(total)
         state_row["epoch"] = np.int32(epoch)
         return pd.concat([out, state_row], ignore_index=True)
 
     return fn
 
 
+def split_seen_state(
+    seen_state: DataFrame,
+    n_old: int,
+    n_new: int,
+    capacity: int = seenset.DEFAULT_PARTITION_CAPACITY,
+) -> DataFrame:
+    """Raise the host-bucket fan-out n_old -> n_new (SURVEY §4.1 hot-bucket
+    splitting): because host_bucket = url_id % n, doubling (or any 2^k
+    multiple) is CONSISTENT — bucket b's keys land only in buckets
+    {b + j*n_old}, so each state row splits locally. Filters are rebuilt per
+    new bucket from the key arrays the row already carries (no seen_exact
+    scan, no shuffle — mapInPandas over the state rows, embarrassingly
+    parallel). The sorted key arrays stay sorted under the mask, so split
+    state bytes remain partition-layout-independent."""
+    assert n_new > n_old and n_new % n_old == 0, (n_old, n_new)
+
+    def fn(it):
+        for pdf in it:
+            outs = []
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                ids = np.frombuffer(bytes(row["ids"]), dtype=np.int64)
+                hs = np.frombuffer(bytes(row["hs"]), dtype=np.int64)
+                for nb in range(int(row["host_bucket"]), n_new, n_old):
+                    sel = (ids % n_new) == nb
+                    sids, shs = ids[sel], hs[sel]
+                    cap = capacity
+                    while len(sids) > cap:
+                        cap *= 2
+                    bloom = seenset.BlockedBloom.for_capacity(cap)
+                    cuckoo = seenset.CuckooFilter.for_capacity(cap)
+                    if len(sids):
+                        bloom.insert(sids.view(np.uint64))
+                        cuckoo.insert(sids.view(np.uint64))
+                    bloom.n_items = len(sids)
+                    outs.append(
+                        (nb, bloom.to_bytes(), cuckoo.to_bytes(),
+                         sids.tobytes(), shs.tobytes(), len(sids), int(row["epoch"]))
+                    )
+            out = pd.DataFrame(outs, columns=_STATE_COLS)
+            if len(out):
+                out["host_bucket"] = out["host_bucket"].astype("int32")
+                out["n_items"] = out["n_items"].astype("int64")
+                out["epoch"] = out["epoch"].astype("int32")
+            yield out
+
+    return seen_state.mapInPandas(fn, _STATE_SCHEMA)
+
+
 def dedup_candidates(
     candidates: DataFrame,
-    seen_exact: DataFrame | None,
     seen_state: DataFrame | None,
     epoch: int,
     capacity: int = seenset.DEFAULT_PARTITION_CAPACITY,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Returns (new_rows, full_seen_state_snapshot_for_epoch, persisted).
 
-    `candidates` is FRONTIER-shaped. `seen_exact` has (host_bucket, url_id,
-    url[, ...]); `seen_state` is SEEN_STATE-shaped (None on the first epoch).
+    `candidates` is FRONTIER-shaped. `seen_state` is SEEN_STATE-shaped
+    (None on the first epoch) and carries the whole seen set per bucket.
     `persisted` are the frames this call cached internally — callers MUST
     unpersist them once new_rows/state have been consumed (the engine does;
     never clear the session-wide cache, other users' frames live there too).
@@ -276,38 +387,21 @@ def dedup_candidates(
     flat = _flatten(candidates).withColumn(
         "lin_parent", F.coalesce(F.col("lin_parent"), F.lit(-1).cast("long"))
     )
-    cand_side = flat.select(
-        *_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"), F.lit(False).alias("is_seen")
-    )
-    if seen_exact is not None:
-        zero = F.lit(0).cast("long")
-        seen_side = seen_exact.select(
-            F.col("url_id"), F.lit("").alias("url"), F.lit("").alias("host"),
-            F.col("host_bucket"), F.lit(0.0).alias("priority"),
-            zero.alias("co_seed_id"), F.lit(0).alias("co_page"),
-            F.lit(0).alias("co_link_order"), F.lit(0).alias("co_depth"),
-            F.lit("").alias("status"), zero.alias("lin_parent"),
-            zero.alias("lin_seed"), F.lit(0).alias("lin_depth"),
-            F.lit(0).alias("lin_epoch"),
-            F.xxhash64("url").alias("url_h"), F.lit(True).alias("is_seen"),
-        )
-        cand_side = cand_side.unionByName(seen_side)
+    cand_side = flat.select(*_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"))
     state_src = (
         seen_state
         if seen_state is not None
         else spark.createDataFrame([], _STATE_SCHEMA)
     )
 
-    # ONE cogroup: keep-first + probe + exact resolve + insert (+ rebuild)
+    # ONE cogroup: keep-first + probe + exact resolve + merge (+ rebuild)
     out = (
         cand_side.groupBy("host_bucket")
         .cogroup(state_src.groupBy("host_bucket"))
         .applyInPandas(_fused_fn(epoch, capacity), _OUT_SCHEMA)
         .persist()
     )
-    updated_state = out.filter(F.col("bloom").isNotNull()).select(
-        "host_bucket", "bloom", "cuckoo", "n_items", "epoch"
-    )
+    updated_state = out.filter(F.col("bloom").isNotNull()).select(*_STATE_COLS)
     new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS).withColumn(
         "lin_parent",
         F.when(F.col("lin_parent") == -1, F.lit(None).cast("long")).otherwise(

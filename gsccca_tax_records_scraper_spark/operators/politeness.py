@@ -88,6 +88,7 @@ def grant(
     budgets: DataFrame,
     epoch: int,
     fan_in: int = 8,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (granted_rows, host_state_after). Grant = first `budget`
     pending rows per host in total crawl order (exact FIFO parity with the
@@ -106,6 +107,8 @@ def grant(
     per-host top-budget."""
     from ..functions.urltools import N_HOST_BUCKETS
 
+    if n_buckets is None:
+        n_buckets = N_HOST_BUCKETS
     with_budget = pending.join(F.broadcast(budgets), "host", "inner")
 
     w_local = Window.partitionBy("host", "host_bucket").orderBy(*order_cols())
@@ -115,7 +118,7 @@ def grant(
         .drop("__lr")
     )
     div = fan_in
-    while div < N_HOST_BUCKETS:
+    while div < n_buckets:
         w_mid = Window.partitionBy(
             "host", F.floor(F.col("host_bucket") / F.lit(div))
         ).orderBy(*order_cols())

@@ -13,12 +13,14 @@ probe. Design (north_star):
     buckets; supports deletion (re-crawl revocation), bulk insert is
     vectorized with a per-item kick-loop fallback for overflow.
   - Both serialize to bytes; one row per host_bucket in the `seen_state`
-    table, carried epoch -> epoch (explicit state, SURVEY T2).
+    table (alongside the bucket's packed exact key arrays), carried
+    epoch -> epoch (explicit state, SURVEY T2).
 
 Membership protocol (exact, not probabilistic): bloom-negative => definitely
-new (no join needed); bloom-positive => resolved by an exact anti-join
-against the partition-pruned `seen_exact` table. The filters only *save
-work*; they never decide "seen" on their own.
+new (no resolve needed); bloom-positive => resolved exactly against the
+bucket's sorted 128-bit key arrays (np.searchsorted, in the same cogroup —
+see operators/dedup.py). The filters only *save work*; they never decide
+"seen" on their own.
 
 Everything is deterministic: hash mixing is splitmix64 on url_id, no seeds
 from wall clock.

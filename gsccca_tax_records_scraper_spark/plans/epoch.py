@@ -18,8 +18,10 @@ Shuffle budget per epoch (the 100-TB story):
   - grant: 1 shuffle on (host, host_bucket) at full parallelism + 1 tiny
     shuffle on host over <= budget*n_buckets survivor rows (skew-safe).
   - fetch: no shuffle (narrow mapInPandas over granted).
-  - dedup: 1 shuffle on url_id (hash-balanced, no host skew) + 1 cogroup on
-    host_bucket; exact anti-join only over bloom-positive residue.
+  - dedup: 1 shuffle (the cogroup on host_bucket = url_id hash — balanced,
+    no host skew); the bucket's whole seen set rides IN its state row as
+    filters + packed sorted key arrays, so no seen-side scan, join or
+    aggregation exists at all — per-epoch Arrow cost is O(batch).
   - writes are partition-local.
 """
 
@@ -132,12 +134,19 @@ class CrawlEngine:
         epoch_seconds: float = 400.0,
         robots_rules: dict[str, RobotsRule] | None = None,
         compact_every: int = 8,
+        split_threshold: int | None = None,
     ):
         self.spark = spark
-        self.store = CheckpointStore(workdir)
+        self.store = CheckpointStore(workdir, spark)
         self.epoch_seconds = epoch_seconds
         self.robots_rules = robots_rules if robots_rules is not None else default_robots()
         self.compact_every = compact_every
+        # hot-bucket splitting (SURVEY §4.1): when any bucket's seen count
+        # exceeds this, the fan-out DOUBLES at that epoch's commit (state
+        # rows split locally, frontier re-bucketed; the committed fan-out
+        # rides in the manifest so resume and later epochs agree). None =
+        # fixed fan-out.
+        self.split_threshold = split_threshold
         # livelock guard: budget = floor(min(carry + r*T, r*T + burst)) can
         # never reach 1 when r*T + burst < 1 — the engine would commit empty
         # epochs forever without draining the frontier. Reject up front.
@@ -160,6 +169,11 @@ class CrawlEngine:
             rows, "host string, disallow_prefixes array<string>, rate_per_sec double, burst int"
         )
 
+    def _n_buckets(self) -> int:
+        """The COMMITTED host-bucket fan-out (manifest meta; splits take
+        effect at their epoch's commit)."""
+        return int(self.store.meta("n_buckets", urltools.N_HOST_BUCKETS))
+
     # ------------------------------------------------- candidate plumbing
     def _finalize_candidates(self, df: DataFrame, epoch: int) -> DataFrame:
         """Raw (url, seed_id, page, link_order, depth, parent_url_id) rows ->
@@ -170,7 +184,10 @@ class CrawlEngine:
             df.filter(~F.lower(F.col("url")).contains("maxrows"))
             .withColumn("url_id", url_id)
             .withColumn("host", host)
-            .withColumn("host_bucket", urltools.host_bucket_col(F.col("url_id")))
+            .withColumn(
+                "host_bucket",
+                urltools.host_bucket_col(F.col("url_id"), self._n_buckets()),
+            )
             .withColumn("priority", F.col("depth").cast("double"))
             .withColumn(
                 "crawl_order",
@@ -201,19 +218,45 @@ class CrawlEngine:
         self, raw_candidates: DataFrame, epoch: int
     ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
         """Junk filter + robots gate + dedup; returns (new_rows, seen_state',
-        persisted handles to unpersist after the epoch's writes commit)."""
+        persisted handles to unpersist after the epoch's writes commit).
+        The seen_state snapshot carries the whole seen set (filters + packed
+        exact keys per bucket), so the hot path reads ONE snapshot — the
+        seen_exact delta table is write-only here (export/lineage)."""
         robots = self.robots_df()
         cands = self._finalize_candidates(raw_candidates, epoch)
         gated = politeness.apply_robots_gate(cands, robots)
         prev = self.store.last_epoch()
-        seen_exact = (
-            self.store.read_deltas(self.spark, "seen_exact", prev) if prev is not None else None
-        )
         seen_state = (
             self.store.read_snapshot(self.spark, "seen_state", prev) if prev is not None else None
         )
-        new_rows, state, handles = dedup.dedup_candidates(gated, seen_exact, seen_state, epoch)
+        new_rows, state, handles = dedup.dedup_candidates(gated, seen_state, epoch)
         return new_rows, state, handles
+
+    def _maybe_split(
+        self, seen_state: DataFrame, frontier: DataFrame
+    ) -> tuple[DataFrame, DataFrame, int | None]:
+        """Double the bucket fan-out when any bucket's seen count crosses
+        split_threshold. State rows split locally from the key arrays they
+        carry; the frontier is re-bucketed JVM-side (a pure column rewrite).
+        Returns (state', frontier', n_new | None). The new fan-out is staged
+        as manifest meta and becomes visible at this epoch's commit — a
+        crash before commit leaves the old fan-out and old snapshots, so
+        resume stays consistent. This epoch's seen_exact/metrics deltas keep
+        the PRE-split bucket labels (per-epoch lineage is labeled by the
+        bucketing that produced it)."""
+        if not self.split_threshold:
+            return seen_state, frontier, None
+        mx = seen_state.agg(F.max("n_items").alias("m")).first()["m"]
+        if mx is None or int(mx) <= self.split_threshold:
+            return seen_state, frontier, None
+        n_old = self._n_buckets()
+        n_new = n_old * 2
+        state2 = dedup.split_seen_state(seen_state, n_old, n_new)
+        frontier2 = frontier.withColumn(
+            "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_new)
+        )
+        self.store.set_meta("n_buckets", n_new)
+        return state2, frontier2, n_new
 
     def _write_epoch(
         self,
@@ -293,8 +336,9 @@ class CrawlEngine:
         empty_host_state = self.spark.createDataFrame(
             [], "host string, tokens double, epoch int"
         )
+        state, frontier0, _split = self._maybe_split(state, new_rows)
         self._write_epoch(
-            0, new_rows, state, empty_host_state, new_rows, None, None,
+            0, frontier0, state, empty_host_state, new_rows, None, None,
             {"admitted": n_admitted, "seeds": len(seed_ids)},
         )
         new_rows.unpersist()
@@ -327,7 +371,9 @@ class CrawlEngine:
         budgets = politeness.compute_budgets(
             pending, robots, prev_host_state if prev > 0 else None, self.epoch_seconds
         )
-        granted, host_state_new = politeness.grant(pending, budgets, epoch)
+        granted, host_state_new = politeness.grant(
+            pending, budgets, epoch, n_buckets=self._n_buckets()
+        )
         granted = granted.cache()
         n_granted = granted.count()
         # carry state for hosts with no pending urls this epoch
@@ -399,6 +445,7 @@ class CrawlEngine:
         frontier_next = pending.join(
             granted.select("url_id"), "url_id", "left_anti"
         ).unionByName(new_rows)
+        seen_state, frontier_next, _split = self._maybe_split(seen_state, frontier_next)
 
         n_cancelled = int(
             fetched.agg(F.sum(F.col("cancelled").cast("int")).alias("nc")).first()["nc"] or 0

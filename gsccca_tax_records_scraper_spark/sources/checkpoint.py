@@ -10,12 +10,21 @@ commit protocol are format-agnostic):
     <workdir>/MANIFEST.json                 list of COMMITTED epochs
 
 Commit protocol: all tables for epoch K are written first; the manifest is
-rewritten last via tmp+rename (atomic on POSIX — same trick the reference
-uses for Excel saves, lien_index_scraper.py:204-207). A killed job resumes
-from the last committed epoch; partially-written epoch K+1 dirs are ignored
-and overwritten. Snapshot tables (frontier/seen_state/host_state) are read at
-exactly one epoch; delta tables (seen_exact/records/documents/metrics) are
-read as the union of epochs <= K.
+rewritten last via tmp+rename (atomic on POSIX and HDFS — same trick the
+reference uses for Excel saves, lien_index_scraper.py:204-207). A killed job
+resumes from the last committed epoch; partially-written epoch K+1 dirs are
+ignored and overwritten. Snapshot tables (frontier/seen_state/host_state)
+are read at exactly one epoch; delta tables (seen_exact/records/documents/
+metrics) are read as the union of epochs <= K.
+
+Filesystem abstraction: plain paths use the local POSIX fast path; URI
+workdirs (hdfs://, s3a://, file://, ...) route the manifest/_SUCCESS/rename
+operations through the Hadoop FileSystem API reached over the session's JVM
+gateway (`spark._jvm`) — the same FileSystem the parquet reads/writes
+already use, so a 100-TB deployment points the store at its object store
+with no code change. Note on S3: rename is copy+delete there, so the
+manifest swap is last-writer-wins rather than atomic — single-writer (one
+driver per workdir) is the store's documented contract on object stores.
 """
 
 from __future__ import annotations
@@ -30,31 +39,91 @@ SNAPSHOT_TABLES = ("frontier", "seen_state", "host_state")
 DELTA_TABLES = ("seen_exact", "records", "documents", "metrics")
 
 
+class _PosixFS:
+    """Local-path operations (the fast path: no JVM round-trips)."""
+
+    def mkdirs(self, path: str) -> None:
+        Path(path).mkdir(parents=True, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        return Path(path).read_text()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = Path(path + ".tmp")
+        tmp.write_text(text)
+        os.replace(tmp, path)
+
+
+class _HadoopFS:
+    """The same operations through org.apache.hadoop.fs.FileSystem — resolved
+    from the workdir URI's scheme via the session's Hadoop configuration, so
+    whatever connectors the cluster ships (hdfs, s3a, abfs, file) work."""
+
+    def __init__(self, spark: SparkSession, uri: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(uri).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._jvm = jvm
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._jpath(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            # readAllBytes avoids a per-byte py4j crawl; manifests are tiny
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return data.decode("utf-8")
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = self._jpath(path + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._jpath(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"rename {path}.tmp -> {path} failed")
+
+
 class CheckpointStore:
-    def __init__(self, workdir: str | Path):
-        if "://" in str(workdir):
-            # the store currently manipulates the manifest and _SUCCESS
-            # probes through the local filesystem; pointing it at hdfs://
-            # or s3:// would silently read empty state — fail loudly instead.
-            # (cluster deployments need these ops ported to the Hadoop
-            # FileSystem API; the parquet reads/writes themselves are
-            # already URI-agnostic.)
-            raise NotImplementedError(
-                "CheckpointStore supports local/shared-POSIX paths only; "
-                f"got {workdir!r}"
-            )
-        self.workdir = Path(workdir)
-        self.workdir.mkdir(parents=True, exist_ok=True)
+    def __init__(self, workdir: str | Path, spark: SparkSession | None = None):
+        self._is_uri = "://" in str(workdir)
+        if self._is_uri:
+            if spark is None:
+                raise ValueError(
+                    f"URI workdir {workdir!r} needs a SparkSession to reach the"
+                    " Hadoop FileSystem API: CheckpointStore(workdir, spark)"
+                )
+            self.workdir = str(workdir).rstrip("/")
+            self.fs: _PosixFS | _HadoopFS = _HadoopFS(spark, self.workdir)
+        else:
+            # keep a Path here: local callers (and tests) join with `/`
+            self.workdir = Path(workdir)
+            self.fs = _PosixFS()
+        self.fs.mkdirs(str(self.workdir))
 
     @property
-    def manifest_path(self) -> Path:
-        return self.workdir / "MANIFEST.json"
+    def manifest_path(self) -> str:
+        return f"{self.workdir}/MANIFEST.json"
 
     def _manifest(self) -> dict:
-        if not self.manifest_path.exists():
-            return {"epochs": [], "compacted": {}}
-        m = json.loads(self.manifest_path.read_text())
+        if not self.fs.exists(self.manifest_path):
+            return {"epochs": [], "compacted": {}, "meta": {}}
+        m = json.loads(self.fs.read_text(self.manifest_path))
         m.setdefault("compacted", {})
+        m.setdefault("meta", {})
         return m
 
     def committed_epochs(self) -> list[int]:
@@ -64,8 +133,17 @@ class CheckpointStore:
         epochs = self.committed_epochs()
         return epochs[-1] if epochs else None
 
+    def meta(self, key: str, default=None):
+        """Small committed key/value state riding in the manifest (e.g. the
+        current host-bucket fan-out) — visible only after commit()."""
+        return self._manifest()["meta"].get(key, default)
+
+    def set_meta(self, key: str, value) -> None:
+        self._pending_meta = getattr(self, "_pending_meta", {})
+        self._pending_meta[key] = value
+
     def table_path(self, table: str, epoch: int) -> str:
-        return str(self.workdir / table / f"epoch={epoch}")
+        return f"{self.workdir}/{table}/epoch={epoch}"
 
     def write(self, table: str, epoch: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.table_path(table, epoch))
@@ -74,7 +152,7 @@ class CheckpointStore:
         return spark.read.parquet(self.table_path(table, epoch))
 
     def compacted_path(self, table: str, epoch: int) -> str:
-        return str(self.workdir / table / f"compacted={epoch}")
+        return f"{self.workdir}/{table}/compacted={epoch}"
 
     def compacted_epoch(self, table: str) -> int | None:
         return self._manifest()["compacted"].get(table)
@@ -91,7 +169,7 @@ class CheckpointStore:
         paths += [
             self.table_path(table, e)
             for e in range(start, upto_epoch + 1)
-            if os.path.exists(self.table_path(table, e) + "/_SUCCESS")
+            if self.fs.exists(self.table_path(table, e) + "/_SUCCESS")
         ]
         if not paths:
             return None
@@ -117,6 +195,12 @@ class CheckpointStore:
         for table, e in getattr(self, "_pending_compactions", {}).items():
             m["compacted"][table] = e
         self._pending_compactions = {}
-        tmp = self.manifest_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"epochs": sorted(epochs), "compacted": m["compacted"]}))
-        os.replace(tmp, self.manifest_path)
+        meta = m["meta"]
+        meta.update(getattr(self, "_pending_meta", {}))
+        self._pending_meta = {}
+        self.fs.write_text_atomic(
+            self.manifest_path,
+            json.dumps(
+                {"epochs": sorted(epochs), "compacted": m["compacted"], "meta": meta}
+            ),
+        )

@@ -11,11 +11,10 @@ dropped, a bloom false positive is resolved against the exact ids held in
 state.
 
 Differences vs the batch path, by design:
-  - state here also carries the bucket's exact id array (the batch path
-    keeps exact ids in the seen_exact TABLE instead): the streaming state
-    store is the only storage a streaming operator can consult, and ids are
-    8 bytes each — 2M urls/bucket is 16 MB, within state-store practice at
-    the 4096-bucket layout the batch path documents.
+  - state carries the bucket's exact id array — the SAME design the batch
+    path's seen_state row uses (operators/dedup.py carries packed sorted
+    key arrays per bucket); ids are 8 bytes each — 2M urls/bucket is 16 MB,
+    within state-store practice at the documented 4096-bucket layout.
   - output mode is append (admitted urls are immutable facts).
 
 GroupStateTimeout: none — the seen set never expires (a crawl's visited set

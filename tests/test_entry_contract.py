@@ -16,7 +16,10 @@ SUBSET = [
     "argmax_order",
     "line_reconstruction",
     "lag_gap",
-    "except_tokens",
+    "setops_except_intersect",
+    "predicate_filter_suite",
+    "viewer_url_lookup",
+    "ann_lsh_topk",
     "tpch_q1",
     "revenue_by_segment",
     "minhash_lsh_pairs",
@@ -63,10 +66,11 @@ def test_every_query_has_callable_and_oracle_coverage():
     assert len(qs) >= 45
     missing = set(oracles) - set(qs)
     assert not missing
+    # the driver records only the first 50 entries — never exceed the window
+    assert len(qs) <= 50
     # rows-only entries are the documented non-SQL-expressible ones
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "ann_lsh_topk",
         "ann_ivf_topk",
         "crawl_canonicalize_dedup",
         "realestate_entity_frontier",

@@ -23,16 +23,12 @@ def robots(spark):
 def test_dedup_idempotent(spark, tmp_path):
     """Re-presenting already-admitted candidates yields zero new rows."""
     cands = bench._synth_candidates(spark, 20_000)
-    new1, state1, _h1 = dedup.dedup_candidates(cands, None, None, 0)
-    se = str(tmp_path / "se")
+    new1, state1, _h1 = dedup.dedup_candidates(cands, None, 0)
     ss = str(tmp_path / "ss")
-    new1.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch")).write.parquet(se)
     state1.write.parquet(ss)
     n1 = new1.count()
     assert n1 == 20_000
-    new2, _, _h2 = dedup.dedup_candidates(
-        cands, spark.read.parquet(se), spark.read.parquet(ss), 1
-    )
+    new2, _, _h2 = dedup.dedup_candidates(cands, spark.read.parquet(ss), 1)
     assert new2.count() == 0
 
 
@@ -49,7 +45,7 @@ def test_dedup_keep_first_picks_crawl_order_min(spark):
             (F.col("crawl_order.depth") + 5).alias("depth"),
         ),
     )
-    new_rows, _, _h = dedup.dedup_candidates(base.unionByName(later), None, None, 0)
+    new_rows, _, _h = dedup.dedup_candidates(base.unionByName(later), None, 0)
     rows = new_rows.collect()
     assert len(rows) == 1000
     assert all(r.crawl_order.depth == 1 for r in rows)

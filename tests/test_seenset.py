@@ -92,8 +92,7 @@ def test_dedup_rebuilds_overflowing_bucket(spark):
 
     cap = 16  # tiny per-bucket capacity; 2000 urls / 64 buckets ~ 31/bucket
     c1 = bench._synth_candidates(spark, 2000, start=0)
-    new1, state1, h1 = dedup.dedup_candidates(c1, None, None, 0, capacity=cap)
-    seen1 = new1.select("host_bucket", "url_id", "url", F.lit(0).alias("epoch"))
+    new1, state1, h1 = dedup.dedup_candidates(c1, None, 0, capacity=cap)
     rows = state1.collect()
     assert {int(r.n_items) for r in rows} and all(int(r.n_items) > cap for r in rows)
     blooms = {r.host_bucket: seenset.BlockedBloom.from_bytes(bytes(r.bloom)) for r in rows}
@@ -104,16 +103,15 @@ def test_dedup_rebuilds_overflowing_bucket(spark):
     probes = np.arange(10**6, 10**6 + 20_000, dtype=np.uint64)
     fpr = float(np.mean([bb.contains(probes).mean() for bb in blooms.values()]))
     assert fpr < 0.01, fpr
-    seen1 = seen1.localCheckpoint()
     state1 = state1.localCheckpoint()
     for h in h1:
         h.unpersist()
     # exactness survives the rebuild: same candidates again -> 0 admitted
-    new2, state2, h2 = dedup.dedup_candidates(c1, seen1, state1, 1, capacity=cap)
+    new2, state2, h2 = dedup.dedup_candidates(c1, state1, 1, capacity=cap)
     assert new2.count() == 0
     # a second overflow epoch: fresh urls keep inserting correctly
     c2 = bench._synth_candidates(spark, 2000, start=2000)
-    new3, state3, h3 = dedup.dedup_candidates(c2, seen1, state1, 1, capacity=cap)
+    new3, state3, h3 = dedup.dedup_candidates(c2, state1, 1, capacity=cap)
     assert new3.count() == 2000
     for r in state3.collect():
         bb = seenset.BlockedBloom.from_bytes(bytes(r.bloom))

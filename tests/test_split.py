@@ -1,0 +1,74 @@
+"""Dynamic hot-bucket fan-out (SURVEY §4.1, r2 verdict #7): splitting the
+seen-state fan-out must preserve the seen SET exactly, halve per-bucket
+load, and stay consistent across resume (fan-out rides in the manifest)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import bench
+from gsccca_tax_records_scraper_spark import simulator
+from gsccca_tax_records_scraper_spark.functions import urltools
+from gsccca_tax_records_scraper_spark.operators import dedup, seenset
+from gsccca_tax_records_scraper_spark.plans.epoch import CrawlEngine
+
+
+def test_split_preserves_membership_and_halves_buckets(spark):
+    c1 = bench._synth_candidates(spark, 20_000)
+    new1, state1, h1 = dedup.dedup_candidates(c1, None, 0)
+    state1 = state1.localCheckpoint()
+    for h in h1:
+        h.unpersist()
+    n_old = urltools.N_HOST_BUCKETS
+    split = dedup.split_seen_state(state1, n_old, n_old * 2).localCheckpoint()
+    rows = split.collect()
+    assert len(rows) == n_old * 2
+    # every key landed in its id % (2n) bucket, arrays still sorted, and the
+    # rebuilt filters contain exactly the bucket's keys
+    total = 0
+    for r in rows:
+        ids = np.frombuffer(bytes(r.ids), dtype=np.int64)
+        total += len(ids)
+        assert (ids % (n_old * 2) == r.host_bucket).all()
+        assert (np.diff(ids) >= 0).all()
+        assert r.n_items == len(ids)
+        bloom = seenset.BlockedBloom.from_bytes(bytes(r.bloom))
+        if len(ids):
+            assert bloom.contains(ids.view(np.uint64)).all()
+    assert total == 20_000
+    # per-bucket load halved (id-uniform keys): max new-bucket count is well
+    # under the old max
+    old_max = max(r.n_items for r in state1.collect())
+    new_max = max(r.n_items for r in rows)
+    assert new_max < old_max
+    # membership is EXACT after the split: the same candidates re-bucketed at
+    # the new fan-out admit zero...
+    c1_re = c1.withColumn(
+        "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_old * 2)
+    )
+    new2, _, h2 = dedup.dedup_candidates(c1_re, split, 1)
+    assert new2.count() == 0
+    # ...and fresh candidates still admit fully
+    c2 = bench._synth_candidates(spark, 5_000, start=20_000).withColumn(
+        "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_old * 2)
+    )
+    new3, _, h3 = dedup.dedup_candidates(c2, split, 1)
+    assert new3.count() == 5_000
+    for h in h2 + h3:
+        h.unpersist()
+
+
+def test_engine_split_e2e_seen_set_equality(spark, tmp_path):
+    """Drive a crawl with a tiny split threshold: the fan-out must double
+    (committed in the manifest), and the final seen set must still equal the
+    simulator's exactly; a fresh engine resumes under the new fan-out."""
+    eng = CrawlEngine(spark, tmp_path / "c", epoch_seconds=60.0, split_threshold=2)
+    eng.run([1, 2])
+    assert eng._n_buckets() > urltools.N_HOST_BUCKETS  # at least one split
+    sim = simulator.simulate_crawl([1, 2], epoch_seconds=60.0)
+    assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+    # resume: fresh engine reads the committed fan-out, crawl is drained
+    eng2 = CrawlEngine(spark, tmp_path / "c", epoch_seconds=60.0, split_threshold=2)
+    assert eng2._n_buckets() == eng._n_buckets()
+    assert eng2.run() == 0
