@@ -41,6 +41,7 @@ def _dedup_group(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    max_ids: int,
 ) -> Iterator[pd.DataFrame]:
     """One host_bucket's micro-batch: probe -> exact resolve -> admit ->
     insert, all against the bucket's state-store row."""
@@ -78,6 +79,20 @@ def _dedup_group(
             seen_ids = np.concatenate([seen_ids, new_ids])
             admitted.append(new[["host_bucket", "url_id", "url"]])
 
+    if len(seen_ids) > max_ids:
+        # hard state-row capacity (r2 verdict #8): the streaming state store
+        # must not grow one row without bound. Crossing the cap fails LOUDLY
+        # with the remediation (more buckets = smaller rows) instead of
+        # silently ballooning every micro-batch commit. The batch engine's
+        # dynamic split (dedup.split_seen_state) is the same remediation
+        # applied automatically; a streaming restart with a higher fan-out
+        # re-partitions the keys the same way.
+        raise RuntimeError(
+            f"streaming seen-set bucket {key[0]} holds {len(seen_ids)} ids, over"
+            f" max_ids_per_bucket={max_ids}: restart with a larger host-bucket"
+            " fan-out (host_bucket = url_id % n_buckets) so per-bucket state"
+            " stays bounded"
+        )
     state.update(
         (
             bloom.to_bytes(),
@@ -90,12 +105,27 @@ def _dedup_group(
         yield pd.concat(admitted, ignore_index=True)
 
 
-def streaming_dedup(candidates: DataFrame) -> DataFrame:
+# default cap: 4M ids = 32 MB exact array per state row (plus ~2 MB filters)
+# — at the documented 4096-bucket layout that bounds lifetime capacity at
+# ~1.6*10^10 urls while keeping every state-row rewrite micro-batch-friendly
+DEFAULT_MAX_IDS_PER_BUCKET = 4_000_000
+
+
+def streaming_dedup(
+    candidates: DataFrame, max_ids_per_bucket: int = DEFAULT_MAX_IDS_PER_BUCKET
+) -> DataFrame:
     """candidates: a STREAMING DataFrame with (host_bucket int, url_id long,
     url string). Returns the admitted-urls stream (append mode): each url
-    appears exactly once across the stream's lifetime, first delivery wins."""
+    appears exactly once across the stream's lifetime, first delivery wins.
+    Per-bucket state is hard-capped at `max_ids_per_bucket` exact ids (the
+    documented sizing invariant: n_buckets * cap >= crawl lifetime urls);
+    crossing it raises instead of growing without bound."""
+
+    def fn(key, pdfs, state):
+        return _dedup_group(key, pdfs, state, max_ids_per_bucket)
+
     return candidates.groupBy("host_bucket").applyInPandasWithState(
-        _dedup_group,
+        fn,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -100,3 +100,42 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     got = [r.url for r in spark.sql("SELECT url FROM admitted_urls").collect()]
     assert sorted(got) == sorted(u)       # every url exactly once
     assert len(got) == len(set(got)) == 40
+
+
+def test_streaming_dedup_state_cap(spark, tmp_path):
+    """Driving a bucket past max_ids_per_bucket must fail LOUDLY with the
+    fan-out remediation — never commit a state row over the cap (r2 verdict
+    #8: bounded streaming state)."""
+    import json
+
+    import pytest
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+    from gsccca_tax_records_scraper_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    urls = [f"https://search.gsccca.org/Lien/liendetails.asp?id={i}" for i in range(200)]
+    rows = [
+        {"host_bucket": 0, "url_id": urltools.url_id(u), "url": u} for u in urls
+    ]  # everything in ONE bucket: worst-case state row
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("host_bucket int, url_id long, url string")
+        .json(str(src))
+    )
+    q = (
+        streaming_dedup(stream, max_ids_per_bucket=50)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_urls")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    with pytest.raises(Exception, match="max_ids_per_bucket"):
+        try:
+            q.processAllAvailable()
+            raise AssertionError("stream should have failed over the cap")
+        finally:
+            q.stop()
