@@ -4,10 +4,17 @@ Media travel as opaque `binary` columns with typed metadata — the engine's
 span model already carries them as content-addressed `media_ref` strings
 (SURVEY §1.1 "Media store"; reference stores PNG/PDF blobs on disk and
 filenames in rows, lien_index_scraper.py:687-711). These operators provide
-the Spark-side plumbing for decode / feature-extract over such columns:
-schema, batch shape, partitioning, and Arrow-batched pandas processing are
-real; the actual codec step is STUBBED (this container has no image/audio
-libraries) behind an import-try + a deterministic fake, clearly marked.
+the Spark-side plumbing for decode / feature-extract over such columns.
+
+Two decode tiers:
+  - REAL decode for the codec-free formats (PPM/BMP images, PCM-WAV audio)
+    via `operators/mediacodec` — pure numpy header+array parsing, so
+    sniff -> decode -> features -> resize -> re-encode runs end-to-end with
+    genuine values (`extract_media_features_real`, `thumbnail_images`);
+  - compressed formats (PNG/JPEG/MP4/...) need a codec library this
+    container lacks: `real_decode=True` without one raises
+    NotImplementedError, and the md5-derived deterministic stub keeps the
+    contract-checked schema/batch plumbing exercised either way.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import mediacodec
+
 MEDIA_SCHEMA = (
     "doc_id long, media_ref string, media_bytes binary, mime string, n_bytes int"
 )
@@ -25,8 +34,13 @@ FEATURE_SCHEMA = (
     "doc_id long, media_ref string, mime string, n_bytes int, "
     "width int, height int, checksum string, decoded boolean"
 )
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, media_ref string, mime string, n_bytes int, "
+    "width int, height int, channels int, sample_rate int, duration_ms int, "
+    "mean_value double, checksum string, decoded boolean"
+)
 
-try:  # real decoder path — not present in this container
+try:  # compressed-format decoder path — not present in this container
     from PIL import Image  # noqa: F401
 
     _HAS_PIL = True
@@ -84,3 +98,90 @@ def extract_media_features(media: DataFrame, real_decode: bool = False) -> DataF
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _real_features_one(blob: bytes) -> dict:
+    mime = mediacodec.sniff(blob)
+    out = {
+        "mime": mime, "width": 0, "height": 0, "channels": 0,
+        "sample_rate": 0, "duration_ms": 0, "mean_value": 0.0, "decoded": False,
+    }
+    try:
+        if mime == "image/x-portable-pixmap":
+            out.update(mediacodec.image_features(mediacodec.decode_ppm(blob)))
+            out["decoded"] = True
+        elif mime == "image/bmp":
+            out.update(mediacodec.image_features(mediacodec.decode_bmp(blob)))
+            out["decoded"] = True
+        elif mime == "audio/wav":
+            out.update(mediacodec.audio_features(*mediacodec.decode_wav(blob)))
+            out["decoded"] = True
+    except mediacodec.UnsupportedMediaError:
+        pass  # malformed/unsupported variant: decoded stays False
+    return out
+
+
+def extract_media_features_real(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction for the codec-free formats
+    (PPM/BMP/WAV, `operators/mediacodec`): width/height/channels and mean
+    pixel value for images, sample_rate/duration/RMS for audio. Blobs whose
+    format needs a codec library come back decoded=False (same row shape) —
+    mirror of the reference's best-effort per-page OCR fallbacks. Same
+    mapInPandas/Arrow batch shape as the stub path."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            blobs = pdf["media_bytes"].map(bytes)
+            feats = pd.DataFrame(list(blobs.map(_real_features_one)), index=pdf.index)
+            feats["doc_id"] = pdf["doc_id"]
+            feats["media_ref"] = pdf["media_ref"]
+            feats["n_bytes"] = pdf["n_bytes"]
+            feats["checksum"] = blobs.map(lambda b: hashlib.md5(b).hexdigest())
+            for c, t in (("width", "int32"), ("height", "int32"), ("channels", "int32"),
+                         ("sample_rate", "int32"), ("duration_ms", "int32")):
+                feats[c] = feats[c].astype(t)
+            yield feats[
+                ["doc_id", "media_ref", "mime", "n_bytes", "width", "height",
+                 "channels", "sample_rate", "duration_ms", "mean_value",
+                 "checksum", "decoded"]
+            ]
+
+    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
+def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode (PPM) for the
+    codec-free image formats; non-image/undecodable blobs are dropped (the
+    thumbnail table is a derived view). The resize is numpy index-mapping —
+    no per-pixel Python."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]):
+                blob = bytes(blob)
+                mime = mediacodec.sniff(blob)
+                try:
+                    if mime == "image/x-portable-pixmap":
+                        px = mediacodec.decode_ppm(blob)
+                    elif mime == "image/bmp":
+                        px = mediacodec.decode_bmp(blob)
+                    else:
+                        continue
+                except mediacodec.UnsupportedMediaError:
+                    continue
+                thumb = mediacodec.encode_ppm(
+                    mediacodec.resize_nearest(px, out_w, out_h)
+                )
+                rows.append((doc_id, ref, thumb, out_w, out_h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "thumb_ppm", "width", "height"]
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, media_ref string, thumb_ppm binary, width int, height int"
+    )
