@@ -246,10 +246,19 @@ class CrawlEngine:
         bucketing that produced it)."""
         if not self.split_threshold:
             return seen_state, frontier, None
-        mx = seen_state.agg(F.max("n_items").alias("m")).first()["m"]
-        if mx is None or int(mx) <= self.split_threshold:
-            return seen_state, frontier, None
         n_old = self._n_buckets()
+        # two triggers (SURVEY §4.1): a bucket's SEEN state outgrowing its
+        # shard, or one host's PENDING backlog exceeding threshold-per-bucket
+        # (the hot-host case — more buckets directly widens the politeness
+        # tournament's parallel phase-1)
+        mx_seen = seen_state.agg(F.max("n_items").alias("m")).first()["m"]
+        mx_pend = (
+            frontier.groupBy("host").count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        if (mx_seen is None or int(mx_seen) <= self.split_threshold) and (
+            mx_pend is None or int(mx_pend) <= self.split_threshold * n_old
+        ):
+            return seen_state, frontier, None
         n_new = n_old * 2
         state2 = dedup.split_seen_state(seen_state, n_old, n_new)
         frontier2 = frontier.withColumn(

@@ -59,6 +59,24 @@ def test_split_preserves_membership_and_halves_buckets(spark):
         h.unpersist()
 
 
+def test_pending_backlog_triggers_split(spark, tmp_path):
+    """SURVEY §4.1 hot-host trigger: one host's PENDING count crossing
+    threshold-per-bucket doubles the fan-out even when no bucket's SEEN
+    state is large."""
+    eng = CrawlEngine(spark, tmp_path / "p", epoch_seconds=60.0, split_threshold=50)
+    seen_cands = bench._synth_candidates(spark, 2000)  # max bucket seen ~45 < 50
+    _new, state, h = dedup.dedup_candidates(seen_cands, None, 0)
+    state = state.localCheckpoint()
+    for hh in h:
+        hh.unpersist()
+    assert max(r.n_items for r in state.collect()) <= 50
+    backlog = bench._synth_candidates(spark, 20_000)  # 20k pending, one host
+    state2, frontier2, n_new = eng._maybe_split(state, backlog)
+    assert n_new == 2 * urltools.N_HOST_BUCKETS
+    assert state2.count() == n_new
+    assert frontier2.select(F.max("host_bucket")).first()[0] >= urltools.N_HOST_BUCKETS
+
+
 def test_engine_split_e2e_seen_set_equality(spark, tmp_path):
     """Drive a crawl with a tiny split threshold: the fan-out must double
     (committed in the manifest), and the final seen set must still equal the
