@@ -160,11 +160,12 @@ def _synth_candidates(spark, n: int, start: int = 0):
     )
 
 
-def _cpu_busy_snapshot() -> tuple[int, int]:
+def _cpu_busy_snapshot() -> tuple[int, int, int]:
     with open("/proc/stat") as f:
         vals = list(map(int, f.readline().split()[1:]))
     idle = vals[3] + vals[4]
-    return sum(vals) - idle, sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, sum(vals), steal
 
 
 def _tree_cpu_ticks() -> int:
@@ -215,7 +216,7 @@ def build_seen_set(spark, out_dir: str) -> None:
 
 def crawl_workloads(cores: int, seen_dir: str) -> dict:
     """Dedup + fetch throughput at a given parallelism level."""
-    busy0, tot0 = _cpu_busy_snapshot()
+    busy0, tot0, steal0 = _cpu_busy_snapshot()
     own0 = _tree_cpu_ticks()
     from pyspark.sql import functions as F
 
@@ -282,14 +283,16 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
 
     spark.stop()
     own1 = _tree_cpu_ticks()
-    busy1, tot1 = _cpu_busy_snapshot()
+    busy1, tot1, steal1 = _cpu_busy_snapshot()
     return {
         "cores": cores,
         "host_busy_frac": round((busy1 - busy0) / max(tot1 - tot0, 1), 3),
         # external contention: host busy MINUS this worker's own subtree cpu
+        # (includes hypervisor steal — reported separately for attribution)
         "host_busy_ext_frac": round(
             max(0, (busy1 - busy0) - (own1 - own0)) / max(tot1 - tot0, 1), 3
         ),
+        "host_steal_frac": round((steal1 - steal0) / max(tot1 - tot0, 1), 3),
         "t_dedup_sec": round(t_dedup, 3),
         "t_fetch_sec": round(t_fetch, 3),
         "t_dedup_reps": [round(t, 2) for t in td],
@@ -550,6 +553,7 @@ def main() -> None:
             "cores": c,
             "host_busy_frac": [r["host_busy_frac"] for r in runs[c]],
             "host_busy_ext_frac": [r["host_busy_ext_frac"] for r in runs[c]],
+            "host_steal_frac": [r["host_steal_frac"] for r in runs[c]],
             "t_dedup_sec": min(r["t_dedup_sec"] for r in runs[c]),
             "t_fetch_sec": min(r["t_fetch_sec"] for r in runs[c]),
             "t_dedup_reps": [t for r in runs[c] for t in r["t_dedup_reps"]],
