@@ -281,9 +281,14 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     # rep 1 is the JVM's first full-scale pass (JIT/heap growth): drop it
     t_dedup, t_fetch = min(td[1:]), min(tf[1:])
 
-    spark.stop()
+    # snapshot own-subtree ticks BEFORE spark.stop(): stopping the context
+    # kills the pyspark daemons/workers, which get reaped by init (not the
+    # JVM), silently dropping their CPU from the subtree sum — measured ~35%
+    # of a UDF-heavy job's CPU, which inflated "external" to ~0.5 at 32
+    # cores in earlier records
     own1 = _tree_cpu_ticks()
     busy1, tot1, steal1 = _cpu_busy_snapshot()
+    spark.stop()
     return {
         "cores": cores,
         "host_busy_frac": round((busy1 - busy0) / max(tot1 - tot0, 1), 3),
@@ -323,23 +328,30 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     for h in wh:
         h.unpersist()
 
-    times, seen_sizes = [], []
-    state = None
-    handles: list = []
-    for e in range(n_epochs):
-        cands = _synth_candidates(spark, n_cand, start=e * n_cand)
-        t0 = time.monotonic()
-        new_rows, state_new, h = dedup_candidates(cands, state, e)
-        _noop_write(new_rows)
-        state_new = state_new.localCheckpoint()  # materialize state for next epoch
-        times.append(round(time.monotonic() - t0, 3))
-        seen_sizes.append((e + 1) * n_cand)
+    # two full sequences, per-epoch min: single-shot epoch times on this
+    # host carry multi-second GC/contention noise that can swamp the
+    # flatness signal
+    all_times: list[list[float]] = []
+    seen_sizes = [(e + 1) * n_cand for e in range(n_epochs)]
+    for _seq in range(2):
+        times: list[float] = []
+        state = None
+        handles: list = []
+        for e in range(n_epochs):
+            cands = _synth_candidates(spark, n_cand, start=e * n_cand)
+            t0 = time.monotonic()
+            new_rows, state_new, h = dedup_candidates(cands, state, e)
+            _noop_write(new_rows)
+            state_new = state_new.localCheckpoint()  # materialize for next epoch
+            times.append(round(time.monotonic() - t0, 3))
+            for hh in handles:
+                hh.unpersist()
+            handles = h
+            state = state_new
         for hh in handles:
             hh.unpersist()
-        handles = h
-        state = state_new
-    for hh in handles:
-        hh.unpersist()
+        all_times.append(times)
+    times = [round(min(seq[e] for seq in all_times), 3) for e in range(n_epochs)]
     spark.stop()
     # flatness compares the LAST epoch (largest seen set) to the SECOND
     # (first epoch that probes a non-empty seen set; epoch 0 also absorbs
@@ -350,6 +362,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
         "n_cand_per_epoch": n_cand,
         "seen_before_epoch": [0] + seen_sizes[:-1],
         "t_epoch_sec": times,
+        "t_epoch_sequences": all_times,
         "flatness_last_vs_second": round(times[-1] / base, 3),
     }
 
