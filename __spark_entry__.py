@@ -1119,8 +1119,7 @@ def q_cosine_topk(spark, sf):
 # ANN LSH gets a FULL value oracle (VERDICT r2 #4): the sign-plane family is
 # pinned to md5-derived ±1 Rademacher planes, which DuckDB rebuilds
 # bit-for-bit, so bucketing + within-bucket exact top-k are value-checked
-# end-to-end. IVF stays rows-only (k-means training is iterative, not
-# SQL-expressible); its recall >= 0.8 is asserted in tests/test_similarity.py.
+# end-to-end. (IVF below gets the same treatment with pinned centroids.)
 
 _LSH_DIM, _LSH_PLANES_N = 64, 6
 
@@ -1165,16 +1164,70 @@ def _q_lsh_topk(spark, sf):
     )
 
 
+# IVF oracle: with PINNED md5-derived coarse centroids the whole IVF
+# mechanism — argmax-dot cell assignment, top-nprobe probe-cell selection,
+# within-cell exact top-k — is SQL-expressible, so the contract entry is
+# value-checked end-to-end. The k-means-TRAINED path (the production
+# default) stays covered by the clustered-recall>=0.8 tests in
+# tests/test_similarity.py (training is iterative, not SQL).
+
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+
+def _ivf_centroids() -> list[list[float]]:
+    return similarity.rademacher_planes(_LSH_DIM, _IVF_CELLS)
+
+
+def _ann_ivf_sql() -> str:
+    cents = _ivf_centroids()
+
+    def dots(vec: str) -> str:
+        return "[" + ", ".join(
+            f"list_dot_product({vec}::DOUBLE[], "
+            "[" + ", ".join(str(int(x)) for x in c) + "]::DOUBLE[])"
+            for c in cents
+        ) + "]"
+
+    # first max wins on ties — same rule as cell_of's strict > comparison
+    cell = f"(list_position({dots('embedding')}, list_max({dots('embedding')})) - 1)"
+    scored = (
+        "list_transform(generate_series(1, " + str(_IVF_CELLS) + "),"
+        f" i -> struct_pack(d := {dots('embedding')}[i], cell := i - 1))"
+    )
+    probe = (
+        f"list_transform(list_slice(list_reverse(list_sort({scored})), 1,"
+        f" {_IVF_NPROBE}), x -> x.cell)"
+    )
+    cos = (
+        "list_dot_product(q.qv::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),"
+        " q AS (SELECT vec_id AS query_id, embedding AS qv, unnest("
+        f"{probe}) AS cell FROM embeddings WHERE vec_id < 5)"
+        " SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM ("
+        f"   SELECT q.query_id, b.vec_id, {cos} AS cos,"
+        "     row_number() OVER (PARTITION BY q.query_id ORDER BY cos DESC, b.vec_id)"
+        "       AS rank"
+        "   FROM b JOIN q ON b.cell = q.cell) WHERE rank <= 3"
+    )
+
+
 def _q_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=3)
+    return similarity.ivf_topk(
+        emb, queries, k=3, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+        centroids=_ivf_centroids(),
+    )
 
 
 _REGISTRY["ann_lsh_topk"] = (_q_lsh_topk, _ann_lsh_sql())
-_REGISTRY["ann_ivf_topk"] = (_q_ivf_topk, None)  # IVF probe: rows-only (see above)
+_REGISTRY["ann_ivf_topk"] = (_q_ivf_topk, _ann_ivf_sql())
 
 
 # ---- training-data pipeline: text analysis ----------------------------------

@@ -51,7 +51,8 @@ N_CAND = 24_000_000  # starts at 0 -> 50% of candidates are already seen
 N_PAGES = 2_400_000
 N_REPS = 3  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
 N_PASSES = 2  # each worker runs twice, alternating core counts (see main)
-QUIET_RETRIES = 2  # extra passes per config when every pass saw a busy host
+QUIET_RETRIES = 3  # extra passes per config when every pass saw a busy host
+QUIET_EXT_MAX = 0.05  # external (other tenants + hypervisor steal) CPU frac
 CAL_N = 40_000_000  # sha1 iterations for the pure-CPU calibration
 
 HEADLINE = [
@@ -544,12 +545,13 @@ def main() -> None:
         for c in (8, 32):
             runs[c].append(run_worker(c))
     # quiet-host gate (r2 verdict #3): a config whose EVERY pass saw real
-    # EXTERNAL contention (host busy minus this worker's own subtree cpu
-    # > 15% of the machine) gets up to QUIET_RETRIES extra passes, so the
-    # recorded min comes from a window the measurement actually owned.
+    # EXTERNAL contention (host busy minus this worker's own subtree cpu —
+    # includes hypervisor steal, which this box shows in multi-minute waves
+    # up to ~0.17) gets up to QUIET_RETRIES extra passes, so the recorded
+    # min comes from a window the measurement actually owned.
     for c in (8, 32):
         for _retry in range(QUIET_RETRIES):
-            if min(r["host_busy_ext_frac"] for r in runs[c]) <= 0.15:
+            if min(r["host_busy_ext_frac"] for r in runs[c]) <= QUIET_EXT_MAX:
                 break
             runs[c].append(run_worker(c))
 

@@ -71,7 +71,6 @@ def test_every_query_has_callable_and_oracle_coverage():
     # rows-only entries are the documented non-SQL-expressible ones
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "ann_ivf_topk",
         "crawl_canonicalize_dedup",
         "realestate_entity_frontier",
     }
