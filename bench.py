@@ -49,7 +49,7 @@ sys.path.insert(0, str(REPO))
 N_SEEN = 12_000_000
 N_CAND = 24_000_000  # starts at 0 -> 50% of candidates are already seen
 N_PAGES = 2_400_000
-N_REPS = 3  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
+N_REPS = 4  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
 N_PASSES = 2  # each worker runs twice, alternating core counts (see main)
 QUIET_RETRIES = 3  # extra passes per config when every pass saw a busy host
 QUIET_EXT_MAX = 0.05  # external (other tenants + hypervisor steal) CPU frac
@@ -225,8 +225,14 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     from gsccca_tax_records_scraper_spark.plans.epoch import _FETCH_SCHEMA, _fetch_parse
     from gsccca_tax_records_scraper_spark.session import get_spark
 
+    # -Xms = -Xmx: adaptive heap GROWTH under ParallelGC caused multi-rep
+    # warmup (full-scale reps kept shrinking 106s -> 35s as the heap grew);
+    # a fixed heap + an explicit System.gc() between reps settles 32-core
+    # dedup reps at ~18-22s where the adaptive heap was bimodal 19-99s
     spark = get_spark(app_name=f"bench_crawl_{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.driver.extraJavaOptions":
+                                  "-XX:+UseParallelGC -Xms20g"})
     # ---- warmup (untimed): spin up + import-warm the Python workers so
     # the timed sections measure the pipeline, not cold starts ----------
     warm = _synth_candidates(spark, 32 * 1024, start=0).repartition(cores)
@@ -279,6 +285,7 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         t0 = time.monotonic()
         _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
         tf.append(time.monotonic() - t0)
+        spark._jvm.System.gc()  # keep rep-over-rep heap state comparable
     # rep 1 is the JVM's first full-scale pass (JIT/heap growth): drop it
     t_dedup, t_fetch = min(td[1:]), min(tf[1:])
 
@@ -406,9 +413,11 @@ def _write_bench_md(payload: dict) -> None:
         "host busy minus the worker's own process-subtree cpu, so the",
         "worker's own load cannot trip the gate. Per pass:",
         f"8-core busy {payload['scaling']['local8']['host_busy_frac']}"
-        f" / external {payload['scaling']['local8']['host_busy_ext_frac']};"
+        f" / external {payload['scaling']['local8']['host_busy_ext_frac']}"
+        f" / steal {payload['scaling']['local8']['host_steal_frac']};"
         f" 32-core busy {payload['scaling']['local32']['host_busy_frac']}"
-        f" / external {payload['scaling']['local32']['host_busy_ext_frac']}).",
+        f" / external {payload['scaling']['local32']['host_busy_ext_frac']}"
+        f" / steal {payload['scaling']['local32']['host_steal_frac']}).",
         "Each worker also measures, under",
         "its own pinned mask, TWO hardware calibrations that bound what ANY",
         "job can scale to on this box:",

@@ -75,10 +75,17 @@ _ORDER_COLS = [
     "url_id",
 ]
 _FLAT_ORDER = ["co_depth", "co_seed_id", "co_page", "co_link_order", "url_id"]
+# the Arrow-crossing payload is SLIM: host, status and the three
+# derivable lineage fields (seed_id/depth always equal crawl_order's for a
+# freshly-discovered candidate, discovered_epoch is the admitting epoch) are
+# recomputed JVM-side after the cogroup instead of crossing twice — ~40
+# bytes/row saved each way on a bandwidth-bound path. Contract: dedup input
+# rows are freshly-discovered candidates (status "", lineage derived), which
+# every engine path satisfies by construction (_finalize_candidates).
 _FLAT_SCHEMA = (
-    "url_id long, url string, host string, host_bucket int, priority double, "
+    "url_id long, url string, host_bucket int, priority double, "
     "co_seed_id long, co_page int, co_link_order int, co_depth int, "
-    "status string, lin_parent long, lin_seed long, lin_depth int, lin_epoch int"
+    "lin_parent long"
 )
 _STATE_SCHEMA = (
     "host_bucket int, bloom binary, cuckoo binary, ids binary, hs binary, "
@@ -94,34 +101,34 @@ def order_cols() -> list:
 
 def _flatten(df: DataFrame) -> DataFrame:
     return df.select(
-        "url_id", "url", "host", "host_bucket", "priority",
+        "url_id", "url", "host_bucket", "priority",
         F.col("crawl_order.seed_id").alias("co_seed_id"),
         F.col("crawl_order.page").alias("co_page"),
         F.col("crawl_order.link_order").alias("co_link_order"),
         F.col("crawl_order.depth").alias("co_depth"),
-        "status",
         F.col("lineage.parent_url_id").alias("lin_parent"),
-        F.col("lineage.seed_id").alias("lin_seed"),
-        F.col("lineage.depth").alias("lin_depth"),
-        F.col("lineage.discovered_epoch").alias("lin_epoch"),
     )
 
 
-def _unflatten(df: DataFrame) -> DataFrame:
+def _unflatten(df: DataFrame, epoch: int) -> DataFrame:
+    """Rebuild the FRONTIER shape from the slim payload: host from the url
+    (codegen'd regexp), status "" (fresh candidates by contract), lineage
+    seed/depth from crawl_order, discovered_epoch = the admitting epoch."""
+    host = F.lower(F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1))
     return df.select(
-        "url_id", "url", "host", "host_bucket", "priority",
+        "url_id", "url", host.alias("host"), "host_bucket", "priority",
         F.struct(
             F.col("co_seed_id").alias("seed_id"),
             F.col("co_page").alias("page"),
             F.col("co_link_order").alias("link_order"),
             F.col("co_depth").alias("depth"),
         ).alias("crawl_order"),
-        "status",
+        F.lit("").alias("status"),
         F.struct(
             F.col("lin_parent").alias("parent_url_id"),
-            F.col("lin_seed").alias("seed_id"),
-            F.col("lin_depth").alias("depth"),
-            F.col("lin_epoch").alias("discovered_epoch"),
+            F.col("co_seed_id").alias("seed_id"),
+            F.col("co_depth").alias("depth"),
+            F.lit(epoch).cast("int").alias("discovered_epoch"),
         ).alias("lineage"),
     )
 
@@ -138,20 +145,17 @@ def keep_first_in_batch(candidates: DataFrame) -> DataFrame:
 
 
 _PAYLOAD_COLS = [
-    "url_id", "url", "host", "host_bucket", "priority",
-    "co_seed_id", "co_page", "co_link_order", "co_depth",
-    "status", "lin_parent", "lin_seed", "lin_depth", "lin_epoch",
+    "url_id", "url", "host_bucket", "priority",
+    "co_seed_id", "co_page", "co_link_order", "co_depth", "lin_parent",
 ]
 _OUT_SCHEMA = (
     _FLAT_SCHEMA
     + ", bloom binary, cuckoo binary, ids binary, hs binary, n_items long, epoch int"
 )
 _PAYLOAD_DTYPES = {
-    "url_id": "int64", "url": "object", "host": "object", "host_bucket": "int32",
+    "url_id": "int64", "url": "object", "host_bucket": "int32",
     "priority": "float64", "co_seed_id": "int64", "co_page": "int32",
-    "co_link_order": "int32", "co_depth": "int32", "status": "object",
-    "lin_parent": "int64", "lin_seed": "int64", "lin_depth": "int32",
-    "lin_epoch": "int32",
+    "co_link_order": "int32", "co_depth": "int32", "lin_parent": "int64",
 }
 
 
@@ -408,4 +412,4 @@ def dedup_candidates(
             F.col("lin_parent")
         ),
     )
-    return _unflatten(new_flat), updated_state, [out]
+    return _unflatten(new_flat, epoch), updated_state, [out]
