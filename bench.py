@@ -49,6 +49,14 @@ sys.path.insert(0, str(REPO))
 N_SEEN = 12_000_000
 N_CAND = 24_000_000  # starts at 0 -> 50% of candidates are already seen
 N_PAGES = 2_400_000
+# host-bucket fan-out for the crawl workloads: the engine's documented
+# sizing rule (urltools.N_HOST_BUCKETS: raise fan-out as the seen set
+# grows; the engine doubles it dynamically via split_seen_state). At the
+# default 64, a 36M-url steady state overflows every bucket's filter
+# capacity INSIDE the timed region (a rebuild per bucket per rep) and gives
+# the 32-thread scheduler only 64 tasks (2 waves); 256 buckets sizes both
+# correctly: ~94k urls/bucket post-insert and 8 scheduling waves.
+BENCH_N_BUCKETS = 256
 N_REPS = 4  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
 N_PASSES = 2  # each worker runs twice, alternating core counts (see main)
 QUIET_RETRIES = 3  # extra passes per config when every pass saw a busy host
@@ -123,12 +131,16 @@ def bandwidth_calibration(nproc: int) -> float:
         return time.monotonic() - t0
 
 
-def _synth_candidates(spark, n: int, start: int = 0):
-    """FRONTIER-shaped candidate rows synthesized JVM-side (no Python)."""
+def _synth_candidates(spark, n: int, start: int = 0, n_buckets: int | None = None):
+    """FRONTIER-shaped candidate rows synthesized JVM-side (no Python).
+    n_buckets defaults to the engine's N_HOST_BUCKETS (tests rely on it);
+    the bench workloads pass BENCH_N_BUCKETS (fan-out sized for N_SEEN)."""
     from pyspark.sql import functions as F
 
     from gsccca_tax_records_scraper_spark.functions import urltools
 
+    if n_buckets is None:
+        n_buckets = urltools.N_HOST_BUCKETS
     ids = spark.range(start, start + n).select(F.col("id"))
     url = F.format_string(
         "https://search.gsccca.org/Lien/liendetails.asp?county=%d&book=%d&page=%d&id=%d",
@@ -143,7 +155,7 @@ def _synth_candidates(spark, n: int, start: int = 0):
         uid.alias("url_id"),
         "url",
         F.lit("search.gsccca.org").alias("host"),
-        urltools.host_bucket_col(uid).alias("host_bucket"),
+        urltools.host_bucket_col(uid, n_buckets).alias("host_bucket"),
         F.lit(1.0).alias("priority"),
         F.struct(
             (F.col("id") % 1000).cast("long").alias("seed_id"),
@@ -207,7 +219,7 @@ def build_seen_set(spark, out_dir: str) -> None:
     keys), so it is the only table the dedup path needs."""
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
 
-    seen_cands = _synth_candidates(spark, N_SEEN, start=0)
+    seen_cands = _synth_candidates(spark, N_SEEN, start=0, n_buckets=BENCH_N_BUCKETS)
     new0, state0, h0 = dedup_candidates(seen_cands, None, 0)
     _noop_write(new0)
     state0.write.mode("overwrite").parquet(f"{out_dir}/seen_state")
@@ -235,7 +247,7 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
                                   "-XX:+UseParallelGC -Xms20g"})
     # ---- warmup (untimed): spin up + import-warm the Python workers so
     # the timed sections measure the pipeline, not cold starts ----------
-    warm = _synth_candidates(spark, 32 * 1024, start=0).repartition(cores)
+    warm = _synth_candidates(spark, 32 * 1024, start=0, n_buckets=BENCH_N_BUCKETS).repartition(cores)
     _noop_write(
         warm.select(
             "url_id", "url",
@@ -261,7 +273,7 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     # the fetch input is materialized (cached + counted) OUTSIDE the
     # timed region: the timed section measures fetch+parse throughput,
     # not the synthetic row generator + repartition shuffle
-    granted = _synth_candidates(spark, N_PAGES, start=0).select(
+    granted = _synth_candidates(spark, N_PAGES, start=0, n_buckets=BENCH_N_BUCKETS).select(
         "url_id", "url",
         F.col("crawl_order.seed_id").alias("seed_id"),
         F.col("crawl_order.page").alias("page"),
@@ -273,7 +285,7 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         # timed: dedup N_CAND candidates, 50% already in the seen set
         # (steady-state crawls are dup-heavy, so the bloom-positive +
         # exact-resolve path must be a real share of the measurement)
-        cands = _synth_candidates(spark, N_CAND, start=0)
+        cands = _synth_candidates(spark, N_CAND, start=0, n_buckets=BENCH_N_BUCKETS)
         t0 = time.monotonic()
         new1, state1, h1 = dedup_candidates(cands, seen_state, 1)
         _noop_write(new1)
@@ -329,7 +341,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     spark = get_spark(app_name=f"bench_growth_{cores}", cores=cores,
                       shuffle_partitions=cores * 2)
     # warmup at full batch scale (JIT/heap), discarded
-    warm = _synth_candidates(spark, n_cand, start=0)
+    warm = _synth_candidates(spark, n_cand, start=0, n_buckets=BENCH_N_BUCKETS)
     wn, ws, wh = dedup_candidates(warm, None, 0)
     _noop_write(wn)
     _noop_write(ws)
@@ -346,7 +358,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
         state = None
         handles: list = []
         for e in range(n_epochs):
-            cands = _synth_candidates(spark, n_cand, start=e * n_cand)
+            cands = _synth_candidates(spark, n_cand, start=e * n_cand, n_buckets=BENCH_N_BUCKETS)
             t0 = time.monotonic()
             new_rows, state_new, h = dedup_candidates(cands, state, e)
             _noop_write(new_rows)
@@ -398,8 +410,9 @@ def _write_bench_md(payload: dict) -> None:
         "",
         f"Config: sf_dir=`{payload['sf_dir']}`, headline at local[{payload['cores']}];",
         f"crawl workloads: dedup {N_CAND:,} candidate urls vs {N_SEEN:,}-url seen set"
-        f" (blocked-Bloom+cuckoo, fused probe/resolve/insert cogroup),"
-        f" fetch+parse {N_PAGES:,} pages.",
+        f" (blocked-Bloom+cuckoo, fused probe/resolve/insert cogroup,"
+        f" {BENCH_N_BUCKETS} host buckets — fan-out sized for the seen set per the"
+        f" engine's split rule), fetch+parse {N_PAGES:,} pages.",
         "",
         "## Scaling (sandbox stand-in for N vs 4N executors, per BASELINE.json)",
         "",
