@@ -422,9 +422,10 @@ def _write_bench_md(payload: dict) -> None:
         "full-scale JIT/heap warmup; alternation keeps one of this host's",
         "multi-minute contention waves from poisoning every sample of one",
         "config, and a config whose every pass saw EXTERNAL contention",
-        "> 15% of the machine is re-run up to 2 extra passes — external =",
-        "host busy minus the worker's own process-subtree cpu, so the",
-        "worker's own load cannot trip the gate. Per pass:",
+        f"> {QUIET_EXT_MAX:.0%} of the machine is re-run up to {QUIET_RETRIES} extra",
+        "passes — external = host busy minus the worker's own process-subtree",
+        "cpu (incl. hypervisor steal), so the worker's own load cannot trip",
+        "the gate. Per pass:",
         f"8-core busy {payload['scaling']['local8']['host_busy_frac']}"
         f" / external {payload['scaling']['local8']['host_busy_ext_frac']}"
         f" / steal {payload['scaling']['local8']['host_steal_frac']};"
