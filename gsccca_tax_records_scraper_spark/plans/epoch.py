@@ -9,8 +9,10 @@ One epoch = one Spark batch job over the frontier:
 Epoch 0 is the search phase: seeds -> synthetic SERP pages -> link extraction
 -> the initial frontier (reference: get_search_results,
 lien_index_scraper.py:362-549). Every epoch commits a checkpoint (frontier /
-seen_state / host_state snapshots + seen_exact / records / documents /
-metrics deltas); a killed run resumes from the last committed epoch and, all
+host_state snapshots + seen_exact / seen_state / records / documents /
+metrics deltas — seen_state rows are written only for buckets the epoch
+CHANGED and read latest-per-bucket); a killed run resumes from the last
+committed epoch and, all
 UDFs being deterministic (no wall clock, no unseeded random), continues
 bit-identically (north_rule, tested in tests/test_resume.py).
 
@@ -169,6 +171,26 @@ class CrawlEngine:
             rows, "host string, disallow_prefixes array<string>, rate_per_sec double, burst int"
         )
 
+    @staticmethod
+    def _latest_state_rows(df: DataFrame) -> DataFrame:
+        """Keep the latest row per bucket (at most one row per bucket per
+        epoch, so desc-epoch row_number is deterministic)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host_bucket").orderBy(F.desc("epoch"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _read_seen_state(self, upto_epoch: int) -> DataFrame | None:
+        """seen_state is a row-superseding delta table: union the deltas and
+        keep the LATEST row per bucket (each epoch writes only the buckets
+        it changed — per-epoch state I/O scales with the touched set)."""
+        df = self.store.read_deltas(self.spark, "seen_state", upto_epoch)
+        return None if df is None else self._latest_state_rows(df)
+
     def _n_buckets(self) -> int:
         """The COMMITTED host-bucket fan-out (manifest meta; splits take
         effect at their epoch's commit)."""
@@ -226,14 +248,12 @@ class CrawlEngine:
         cands = self._finalize_candidates(raw_candidates, epoch)
         gated = politeness.apply_robots_gate(cands, robots)
         prev = self.store.last_epoch()
-        seen_state = (
-            self.store.read_snapshot(self.spark, "seen_state", prev) if prev is not None else None
-        )
+        seen_state = self._read_seen_state(prev) if prev is not None else None
         new_rows, state, handles = dedup.dedup_candidates(gated, seen_state, epoch)
         return new_rows, state, handles
 
     def _maybe_split(
-        self, seen_state: DataFrame, frontier: DataFrame
+        self, seen_state: DataFrame, frontier: DataFrame, epoch: int
     ) -> tuple[DataFrame, DataFrame, int | None]:
         """Double the bucket fan-out when any bucket's seen count crosses
         split_threshold. State rows split locally from the key arrays they
@@ -260,7 +280,11 @@ class CrawlEngine:
         ):
             return seen_state, frontier, None
         n_new = n_old * 2
-        state2 = dedup.split_seen_state(seen_state, n_old, n_new)
+        # stamp every split row with the current epoch: a split rewrites ALL
+        # buckets, and the delta write keeps only rows stamped this epoch
+        state2 = dedup.split_seen_state(seen_state, n_old, n_new).withColumn(
+            "epoch", F.lit(epoch).cast("int")
+        )
         frontier2 = frontier.withColumn(
             "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_new)
         )
@@ -281,7 +305,9 @@ class CrawlEngine:
     ) -> None:
         st = self.store
         st.write("frontier", epoch, frontier.repartition(8, "host_bucket"))
-        st.write("seen_state", epoch, seen_state)
+        # delta write: only the bucket rows this epoch changed (stamped with
+        # the current epoch by the dedup cogroup / split)
+        st.write("seen_state", epoch, seen_state.filter(F.col("epoch") == epoch))
         st.write("host_state", epoch, host_state)
         st.write(
             "seen_exact",
@@ -314,6 +340,9 @@ class CrawlEngine:
         # stay O(1) dirs instead of O(epochs); takes effect at this commit
         if epoch > 0 and self.compact_every and epoch % self.compact_every == 0:
             st.compact_deltas(self.spark, "seen_exact", epoch)
+            st.compact_deltas(
+                self.spark, "seen_state", epoch, transform=self._latest_state_rows
+            )
         st.commit(epoch)
 
     # ------------------------------------------------------------ phases
@@ -345,7 +374,7 @@ class CrawlEngine:
         empty_host_state = self.spark.createDataFrame(
             [], "host string, tokens double, epoch int"
         )
-        state, frontier0, _split = self._maybe_split(state, new_rows)
+        state, frontier0, _split = self._maybe_split(state, new_rows, 0)
         self._write_epoch(
             0, frontier0, state, empty_host_state, new_rows, None, None,
             {"admitted": n_admitted, "seeds": len(seed_ids)},
@@ -398,7 +427,7 @@ class CrawlEngine:
             granted.unpersist()
             empty_rows = self.spark.createDataFrame([], pending.schema)
             self._write_epoch(
-                epoch, pending, self.store.read_snapshot(self.spark, "seen_state", prev),
+                epoch, pending, self._read_seen_state(prev),
                 host_state, empty_rows, None, None,
                 {"granted": 0, "new_urls": 0, "cancelled": 0}, bucket_counts={},
             )
@@ -454,7 +483,9 @@ class CrawlEngine:
         frontier_next = pending.join(
             granted.select("url_id"), "url_id", "left_anti"
         ).unionByName(new_rows)
-        seen_state, frontier_next, _split = self._maybe_split(seen_state, frontier_next)
+        seen_state, frontier_next, _split = self._maybe_split(
+            seen_state, frontier_next, epoch
+        )
 
         n_cancelled = int(
             fetched.agg(F.sum(F.col("cancelled").cast("int")).alias("nc")).first()["nc"] or 0

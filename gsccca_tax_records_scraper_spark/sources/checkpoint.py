@@ -13,9 +13,10 @@ Commit protocol: all tables for epoch K are written first; the manifest is
 rewritten last via tmp+rename (atomic on POSIX and HDFS — same trick the
 reference uses for Excel saves, lien_index_scraper.py:204-207). A killed job
 resumes from the last committed epoch; partially-written epoch K+1 dirs are
-ignored and overwritten. Snapshot tables (frontier/seen_state/host_state)
-are read at exactly one epoch; delta tables (seen_exact/records/documents/
-metrics) are read as the union of epochs <= K.
+ignored and overwritten. Snapshot tables (frontier/host_state) are read at exactly
+one epoch; delta tables (seen_exact/seen_state/records/documents/metrics)
+are read as the union of epochs <= K (seen_state additionally keeps only
+the latest row per bucket — see DELTA_TABLES note).
 
 Filesystem abstraction: plain paths use the local POSIX fast path; URI
 workdirs (hdfs://, s3a://, file://, ...) route the manifest/_SUCCESS/rename
@@ -35,8 +36,11 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-SNAPSHOT_TABLES = ("frontier", "seen_state", "host_state")
-DELTA_TABLES = ("seen_exact", "records", "documents", "metrics")
+SNAPSHOT_TABLES = ("frontier", "host_state")
+# seen_state is a ROW-SUPERSEDING delta table: each epoch writes only the
+# bucket rows it changed; readers keep the latest row per bucket and the
+# periodic compaction folds superseded rows away
+DELTA_TABLES = ("seen_exact", "seen_state", "records", "documents", "metrics")
 
 
 class _PosixFS:
@@ -175,15 +179,21 @@ class CheckpointStore:
             return None
         return spark.read.parquet(*paths)
 
-    def compact_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> None:
+    def compact_deltas(
+        self, spark: SparkSession, table: str, upto_epoch: int, transform=None
+    ) -> None:
         """Fold all deltas <= upto_epoch into one partitioned dir. Readers
         switch over only at the next manifest commit (the compacted epoch is
         recorded there), so a crash mid-compaction leaves an ignored orphan
         dir. Old delta dirs are retained (cheap, crash-safe; a vacuum step
-        can remove them once the compaction is committed)."""
+        can remove them once the compaction is committed). `transform`
+        (DataFrame -> DataFrame) folds row-superseding tables — e.g.
+        seen_state keeps only the latest row per bucket."""
         df = self.read_deltas(spark, table, upto_epoch)
         if df is None:
             return
+        if transform is not None:
+            df = transform(df)
         df.write.mode("overwrite").parquet(self.compacted_path(table, upto_epoch))
         self._pending_compactions = getattr(self, "_pending_compactions", {})
         self._pending_compactions[table] = upto_epoch

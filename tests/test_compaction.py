@@ -17,8 +17,12 @@ def test_compaction_preserves_content_and_resume(spark, tmp_path):
     comp.step()
     comp.step()  # epoch 2 -> compaction committed
     manifest = json.loads((comp.store.workdir / "MANIFEST.json").read_text())
-    assert manifest["compacted"] == {"seen_exact": 2}
+    assert manifest["compacted"] == {"seen_exact": 2, "seen_state": 2}
     assert (comp.store.workdir / "seen_exact" / "compacted=2" / "_SUCCESS").exists()
+    # the seen_state compaction folds superseded rows: latest-per-bucket only
+    comp_state = spark.read.parquet(str(comp.store.workdir / "seen_state" / "compacted=2"))
+    per_bucket = comp_state.groupBy("host_bucket").count().collect()
+    assert per_bucket and all(r["count"] == 1 for r in per_bucket)
     del comp
     comp2 = CrawlEngine(spark, tmp_path / "comp", epoch_seconds=60.0, compact_every=2)
     comp2.run()  # resume across the compaction boundary
@@ -28,6 +32,33 @@ def test_compaction_preserves_content_and_resume(spark, tmp_path):
     assert {r.url for r in comp2.seen().collect()} == sim.seen_urls
     assert comp2.records().count() == len(sim.records)
     assert comp2.documents().count() == len(sim.spans)
+
+
+def test_seen_state_delta_writes_only_touched_buckets(spark, tmp_path):
+    """seen_state is a row-superseding delta table: an epoch's dir holds
+    rows ONLY for buckets that epoch changed (zero-grant epochs write none;
+    a 1-grant epoch writes at most the fetched page's outlink buckets), and
+    the latest-per-bucket read reconstructs the full state."""
+    eng = CrawlEngine(spark, tmp_path / "d", epoch_seconds=2.0)  # ~1 grant / 2 epochs
+    eng.bootstrap([7])
+    n_buckets_written = {}
+    for _ in range(6):
+        m = eng.step()
+        assert m is not None
+        e = eng.store.last_epoch()
+        delta = spark.read.parquet(eng.store.table_path("seen_state", e))
+        n_buckets_written[e] = delta.count()
+        if m["granted"] == 0:
+            assert n_buckets_written[e] == 0, (e, m)
+        else:
+            # one fetched page yields a handful of outlinks -> few buckets
+            assert n_buckets_written[e] <= max(m["new_urls"], 1), (e, m)
+    total_state = eng._read_seen_state(eng.store.last_epoch())
+    # full reconstruction: every bucket exactly once, id counts add up
+    per_bucket = total_state.groupBy("host_bucket").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+    n_ids = sum(int(r.n_items) for r in total_state.collect())
+    assert n_ids == eng.seen().count()
 
 
 def test_orphan_compaction_dir_ignored(spark, tmp_path):
