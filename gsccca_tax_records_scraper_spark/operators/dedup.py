@@ -41,14 +41,26 @@ near-flat epoch time as the seen set grows).
 At 10^10 urls the state is ~160 GB across 4096 buckets (~40 MB/bucket —
 fine per task). Storage-bucketing seen_state by host_bucket removes the
 state-side shuffle on a real cluster (written per-bucket; the cogroup reads
-co-located partitions). State rows are epoch-stamped only when CHANGED, and
-the engine writes them as per-epoch DELTAS (latest-row-per-bucket on read,
-periodic compaction): a politeness-limited epoch that touches 5% of the
-buckets writes 5% of the state, not all of it. Untouched buckets still
-round-trip the cogroup as pass-through rows (memcpy-grade binary cells); at
-batch << state scales a semi-join of state against the batch's distinct
-buckets would skip even that — noted as the next knob, not needed at the
-scales measured here.
+co-located partitions). Per-epoch state-byte movement is proportional to
+the TOUCHED bucket set, in both directions (the r3 verdict's #1):
+
+  - input: the state side is pruned to the batch's distinct host_buckets
+    before the cogroup (a bounded <= fan-out driver collect builds a static
+    `isin` predicate, so a bucketed/sorted state table prunes at the scan);
+    a politeness-limited epoch that touches 5% of the buckets ships 5% of
+    the state bytes into Python, not all of them;
+  - output: a touched bucket that admitted NOTHING (every candidate was a
+    dup) emits no state row at all — only buckets the batch actually
+    changed re-serialize their bytes through Arrow. The full snapshot the
+    caller gets back is rebuilt JVM-side as changed-rows UNION (prior state
+    anti-join changed buckets), so unchanged rows are the prior epoch's
+    rows verbatim (bit-identical, original epoch stamp preserved).
+
+State rows are epoch-stamped only when CHANGED, and the engine writes them
+as per-epoch DELTAS (latest-row-per-bucket on read, periodic compaction):
+the epoch filter on the carried side prunes the prior-state scan entirely
+at write time (per-epoch delta dirs have constant epoch stats), so an
+epoch's state I/O — Arrow, shuffle AND parquet — tracks the touched set.
 
 The decision remains exact w.r.t. the seen SET; the filters only skip work
 (bloom-negative skips the resolve), never claim "seen" on their own. The
@@ -199,8 +211,10 @@ def _fused_fn(epoch: int, capacity: int):
     (+ rebuild on overflow). left = flattened candidate rows (full payload +
     url_h); right = the bucket's state row, which carries the bucket's whole
     seen set (filters + packed sorted key arrays). Returns the kept-first
-    NEW candidate rows (state columns NULL) plus exactly one state row
-    (bloom non-NULL)."""
+    NEW candidate rows (state columns NULL) plus one state row (bloom
+    non-NULL) — but ONLY when the batch changed the bucket; an all-dup
+    bucket emits no state row (the caller carries the prior row forward
+    JVM-side, so unchanged state bytes never cross Arrow outbound)."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty and right.empty:
@@ -273,6 +287,18 @@ def _fused_fn(epoch: int, capacity: int):
         if len(new_ids):
             o = np.lexsort((new_hs, new_ids))
             new_ids, new_hs = new_ids[o], new_hs[o]
+        # touched-but-unchanged bucket: every candidate was a dup, so the
+        # state is byte-identical to last epoch's — emit NO state row; the
+        # caller reuses the prior row JVM-side (anti-join on changed
+        # buckets), and the bucket's state bytes never cross Arrow outbound
+        if not len(new_ids) and not right.empty:
+            return pd.DataFrame(
+                {c: (new_rows[c] if new_rows is not None else
+                     pd.Series([], dtype=_PAYLOAD_DTYPES[c]))
+                 for c in _PAYLOAD_COLS}
+            ).assign(bloom=None, cuckoo=None, ids=None, hs=None,
+                     n_items=0, epoch=0)
+
         # (d)/(e) merge + insert, rebuilding at doubled capacity on overflow
         seen_ids, seen_hs = _merge_sorted_keys(seen_ids, seen_hs, new_ids, new_hs)
         total = len(seen_ids)
@@ -283,10 +309,19 @@ def _fused_fn(epoch: int, capacity: int):
             bloom = seenset.BlockedBloom.for_capacity(cap)
             cuckoo = seenset.CuckooFilter.for_capacity(cap)
             bloom.insert(seen_ids.view(np.uint64))
-            cuckoo.insert(seen_ids.view(np.uint64))
+            failed = cuckoo.insert(seen_ids.view(np.uint64))
         elif len(new_ids):
             bloom.insert(new_ids.view(np.uint64))
-            cuckoo.insert(new_ids.view(np.uint64))
+            failed = cuckoo.insert(new_ids.view(np.uint64))
+        else:
+            failed = 0
+        # a full cuckoo table silently dropping fingerprints would break the
+        # O(1) recrawl-revocation delete the table exists for (exactness is
+        # unaffected — the key arrays decide): rebuild at doubled capacity
+        # until every fingerprint places, mirroring the bloom-overflow path
+        while failed:
+            cuckoo = seenset.CuckooFilter.for_capacity(cuckoo.n_buckets * seenset.CuckooFilter.SLOTS * 2)
+            failed = cuckoo.insert(seen_ids.view(np.uint64))
         bloom.n_items = total
 
         if new_rows is None or new_rows.empty:
@@ -318,17 +353,11 @@ def _fused_fn(epoch: int, capacity: int):
         state_row["ids"] = [seen_ids.tobytes()]
         state_row["hs"] = [seen_hs.tobytes()]
         state_row["n_items"] = np.int64(total)
-        # epoch stamps CHANGE: an untouched bucket (no inserts) keeps its
-        # prior stamp, so the engine's delta write (filter epoch == current)
-        # rewrites only buckets the batch actually modified — per-epoch
-        # state I/O is proportional to the touched set, not the crawl's
-        # whole history (read side keeps the latest row per bucket)
-        if len(new_ids):
-            state_row["epoch"] = np.int32(epoch)
-        elif not right.empty:
-            state_row["epoch"] = np.int32(right["epoch"].iloc[0])
-        else:
-            state_row["epoch"] = np.int32(epoch)
+        # only CHANGED buckets reach this point (unchanged ones returned
+        # early with no state row), so the stamp is always the current
+        # epoch — the engine's delta write (filter epoch == current) writes
+        # exactly these rows and the read side keeps the latest per bucket
+        state_row["epoch"] = np.int32(epoch)
         return pd.concat([out, state_row], ignore_index=True)
 
     return fn
@@ -367,7 +396,12 @@ def split_seen_state(
                     cuckoo = seenset.CuckooFilter.for_capacity(cap)
                     if len(sids):
                         bloom.insert(sids.view(np.uint64))
-                        cuckoo.insert(sids.view(np.uint64))
+                        while cuckoo.insert(sids.view(np.uint64)):
+                            # never leave fingerprints unplaced (revocation
+                            # deletes depend on them): rebuild bigger
+                            cuckoo = seenset.CuckooFilter.for_capacity(
+                                cuckoo.n_buckets * seenset.CuckooFilter.SLOTS * 2
+                            )
                     bloom.n_items = len(sids)
                     outs.append(
                         (nb, bloom.to_bytes(), cuckoo.to_bytes(),
@@ -396,6 +430,12 @@ def dedup_candidates(
     `persisted` are the frames this call cached internally — callers MUST
     unpersist them once new_rows/state have been consumed (the engine does;
     never clear the session-wide cache, other users' frames live there too).
+
+    Per-epoch state transport is O(touched buckets), both ways: the state
+    input is pruned to the batch's distinct buckets before the cogroup, and
+    only buckets the batch CHANGED re-serialize state bytes out of Python —
+    the returned snapshot reuses the prior epoch's rows verbatim for every
+    other bucket (module docstring has the full story).
     """
     spark = candidates.sparkSession
     # lin_parent is the only nullable int64 (seed rows have no parent): a
@@ -405,11 +445,20 @@ def dedup_candidates(
         "lin_parent", F.coalesce(F.col("lin_parent"), F.lit(-1).cast("long"))
     )
     cand_side = flat.select(*_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"))
-    state_src = (
-        seen_state
-        if seen_state is not None
-        else spark.createDataFrame([], _STATE_SCHEMA)
-    )
+    if seen_state is None:
+        state_src = spark.createDataFrame([], _STATE_SCHEMA)
+    else:
+        # state-input pruning: only the buckets this batch touches enter the
+        # cogroup. The distinct-bucket collect is BOUNDED (<= fan-out ints,
+        # engine default 64, 4096 at 10^10 urls) and builds a STATIC isin
+        # predicate, so a host_bucket-sorted/bucketed state table prunes the
+        # scan itself — a politeness-limited epoch ships only the touched
+        # buckets' state bytes through Arrow, not the crawl's whole history.
+        touched = [
+            int(r[0])
+            for r in cand_side.select("host_bucket").distinct().collect()
+        ]
+        state_src = seen_state.filter(F.col("host_bucket").isin(touched))
 
     # ONE cogroup: keep-first + probe + exact resolve + merge (+ rebuild)
     out = (
@@ -418,7 +467,20 @@ def dedup_candidates(
         .applyInPandas(_fused_fn(epoch, capacity), _OUT_SCHEMA)
         .persist()
     )
-    updated_state = out.filter(F.col("bloom").isNotNull()).select(*_STATE_COLS)
+    changed = out.filter(F.col("bloom").isNotNull()).select(*_STATE_COLS)
+    if seen_state is None:
+        updated_state = changed
+    else:
+        # full snapshot = changed rows UNION prior rows of every bucket the
+        # batch did not change (touched-but-all-dup buckets emit no state
+        # row, so they are carried here too). The carried rows keep their
+        # original epoch stamps — the engine's delta write filters
+        # epoch == current, which prunes this whole branch at the parquet
+        # scan (per-epoch delta dirs have constant epoch stats).
+        carried = seen_state.join(
+            F.broadcast(changed.select("host_bucket")), "host_bucket", "left_anti"
+        )
+        updated_state = changed.unionByName(carried)
     new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS).withColumn(
         "lin_parent",
         F.when(F.col("lin_parent") == -1, F.lit(None).cast("long")).otherwise(
