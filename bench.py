@@ -59,6 +59,8 @@ N_PAGES = 2_400_000
 BENCH_N_BUCKETS = 256
 N_REPS = 4  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
 N_PASSES = 2  # each worker runs twice, alternating core counts (see main)
+SETTLE_TOL = 0.05  # two smallest post-warmup reps must agree within 5%
+MAX_EXTRA_REPS = 4  # settle-gate rep budget per worker
 QUIET_RETRIES = 3  # extra passes per config when every pass saw a busy host
 QUIET_EXT_MAX = 0.05  # external (other tenants + hypervisor steal) CPU frac
 CAL_N = 40_000_000  # sha1 iterations for the pure-CPU calibration
@@ -222,7 +224,12 @@ def build_seen_set(spark, out_dir: str) -> None:
     seen_cands = _synth_candidates(spark, N_SEEN, start=0, n_buckets=BENCH_N_BUCKETS)
     new0, state0, h0 = dedup_candidates(seen_cands, None, 0)
     _noop_write(new0)
-    state0.write.mode("overwrite").parquet(f"{out_dir}/seen_state")
+    # range-partitioned + sorted by host_bucket: tight min/max stats per
+    # file/row-group, so the dedup path's static In(host_bucket) predicate
+    # prunes the state scan itself (the storage-bucketing story at scale)
+    state0.repartitionByRange(64, "host_bucket").sortWithinPartitions(
+        "host_bucket"
+    ).write.mode("overwrite").parquet(f"{out_dir}/seen_state")
     for h in h0:
         h.unpersist()
 
@@ -281,15 +288,19 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         F.col("crawl_order.link_order").alias("link_order"),
     ).repartition(max(cores * 2, 8)).persist()
     granted.count()
-    for _ in range(N_REPS):
+
+    def one_rep() -> None:
         # timed: dedup N_CAND candidates, 50% already in the seen set
         # (steady-state crawls are dup-heavy, so the bloom-positive +
-        # exact-resolve path must be a real share of the measurement)
+        # exact-resolve path must be a real share of the measurement).
+        # The state write mirrors the engine exactly: only the changed-
+        # bucket delta (filter epoch == current; every bucket changes in
+        # this dup-heavy workload, so all state bytes are still written)
         cands = _synth_candidates(spark, N_CAND, start=0, n_buckets=BENCH_N_BUCKETS)
         t0 = time.monotonic()
         new1, state1, h1 = dedup_candidates(cands, seen_state, 1)
         _noop_write(new1)
-        _noop_write(state1)
+        _noop_write(state1.filter(F.col("epoch") == 1))
         td.append(time.monotonic() - t0)
         for h in h1:
             h.unpersist()
@@ -298,6 +309,22 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         _noop_write(granted.mapInPandas(_fetch_parse, _FETCH_SCHEMA))
         tf.append(time.monotonic() - t0)
         spark._jvm.System.gc()  # keep rep-over-rep heap state comparable
+
+    for _ in range(N_REPS):
+        one_rep()
+
+    # settle gate (r3 verdict #2): the recorded min must be REPRODUCIBLE,
+    # not a lucky rep — keep adding reps until the two smallest post-warmup
+    # times of each workload agree within SETTLE_TOL, so the driver's min
+    # lands in the settled regime the raw scaling gate needs
+    def unsettled(ts: list[float]) -> bool:
+        s = sorted(ts[1:])
+        return len(s) < 2 or s[1] / s[0] > 1.0 + SETTLE_TOL
+
+    extra = 0
+    while (unsettled(td) or unsettled(tf)) and extra < MAX_EXTRA_REPS:
+        one_rep()
+        extra += 1
     # rep 1 is the JVM's first full-scale pass (JIT/heap growth): drop it
     t_dedup, t_fetch = min(td[1:]), min(tf[1:])
 
@@ -329,17 +356,42 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     }
 
 
+N_GROWTH_SEQS = 3  # min-merge across sequences; 2 could not separate a real
+#                    trend from one blown epoch per sequence (r3 verdict #1)
+
+
+def _state_bytes(state) -> int:
+    """Total state payload bytes (filters + packed key arrays) in a
+    seen_state frame — the transport-cost observable the growth/touched
+    records report alongside seconds."""
+    from pyspark.sql import functions as F
+
+    v = state.agg(
+        F.sum(
+            F.length("bloom") + F.length("cuckoo") + F.length("ids") + F.length("hs")
+        ).alias("b")
+    ).first()["b"]
+    return int(v or 0)
+
+
 def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict:
-    """O(batch) evidence (r2 verdict #2): run `n_epochs` successive
-    epochs of n_cand FRESH candidates each against a GROWING seen set
-    (n_cand, 2*n_cand, ... urls). With the seen set carried as packed key
-    arrays in the state row, per-epoch time must stay near-flat — the old
-    design's O(|seen|) Arrow row materialization grew it linearly."""
+    """O(batch) evidence (r2 verdict #2, r3 verdict #1): run `n_epochs`
+    successive epochs of n_cand FRESH candidates each against a GROWING seen
+    set (n_cand, 2*n_cand, ... urls). With the seen set carried as packed
+    key arrays in the state row, per-epoch time must stay near-flat — the
+    old design's O(|seen|) Arrow row materialization grew it linearly.
+    Reports per-epoch state bytes alongside seconds so transport cost is
+    diagnosable from the record alone (r3 verdict minor #3)."""
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
     from gsccca_tax_records_scraper_spark.session import get_spark
 
+    # same fixed-heap conf as crawl_workloads: the r3 growth worker ran on
+    # the adaptive heap, so later (bigger-state) epochs absorbed heap-growth
+    # stalls and both sequences grew monotonically (r3 verdict #1 harness bug)
     spark = get_spark(app_name=f"bench_growth_{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.driver.extraJavaOptions":
+                                  "-XX:+UseParallelGC -Xms20g"})
     # warmup at full batch scale (JIT/heap), discarded
     warm = _synth_candidates(spark, n_cand, start=0, n_buckets=BENCH_N_BUCKETS)
     wn, ws, wh = dedup_candidates(warm, None, 0)
@@ -348,12 +400,13 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     for h in wh:
         h.unpersist()
 
-    # two full sequences, per-epoch min: single-shot epoch times on this
-    # host carry multi-second GC/contention noise that can swamp the
-    # flatness signal
+    # N_GROWTH_SEQS full sequences, per-epoch min: single-shot epoch times
+    # on this host carry multi-second GC/contention noise that can swamp
+    # the flatness signal
     all_times: list[list[float]] = []
+    state_bytes: list[int] = []
     seen_sizes = [(e + 1) * n_cand for e in range(n_epochs)]
-    for _seq in range(2):
+    for seq in range(N_GROWTH_SEQS):
         times: list[float] = []
         state = None
         handles: list = []
@@ -368,9 +421,12 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
                 hh.unpersist()
             handles = h
             state = state_new
+            if seq == 0:
+                state_bytes.append(_state_bytes(state))  # untimed observable
         for hh in handles:
             hh.unpersist()
         all_times.append(times)
+        spark._jvm.System.gc()  # keep seq-over-seq heap state comparable
     times = [round(min(seq[e] for seq in all_times), 3) for e in range(n_epochs)]
     spark.stop()
     # flatness compares the LAST epoch (largest seen set) to the SECOND
@@ -383,8 +439,84 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
         "seen_before_epoch": [0] + seen_sizes[:-1],
         "t_epoch_sec": times,
         "t_epoch_sequences": all_times,
+        "state_bytes_after_epoch": state_bytes,
         "flatness_last_vs_second": round(times[-1] / base, 3),
     }
+
+
+def dedup_touched(cores: int, seen_dir: str) -> dict:
+    """Touched-set pruning evidence (r3 verdict #5): the SAME candidate
+    batch deduped against the SAME 12M-url seen set, once confined to ~5%
+    of the host buckets and once spread across all of them. With state
+    transport proportional to the touched set (operators/dedup.py), the
+    confined run must move ~5% of the state bytes and take well under the
+    spread run's time; an O(|seen|) design would time identically."""
+    from pyspark.sql import functions as F
+
+    from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
+    from gsccca_tax_records_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_touched_{cores}", cores=cores,
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.driver.extraJavaOptions":
+                                  "-XX:+UseParallelGC -Xms20g"})
+    seen_state = spark.read.parquet(f"{seen_dir}/seen_state")
+    # ~5% of the buckets, floored at `cores` so the confined cogroup still
+    # fills the machine (at a production 4096-bucket fan-out, 5% = 205
+    # buckets >> cores; at the bench's 256 the floor avoids measuring a
+    # small-fan-out parallelism artifact instead of transport)
+    n_confined = max(cores, BENCH_N_BUCKETS // 20)
+    # ids 9M..15M -> 50% already seen (seen set covers 0..12M), like the
+    # steady-state workload; confined keeps only buckets < n_confined,
+    # spread subsamples uniformly to a comparable row count
+    base = _synth_candidates(spark, 6_000_000, start=9_000_000,
+                             n_buckets=BENCH_N_BUCKETS)
+    confined = base.filter(F.col("host_bucket") < n_confined)
+    # same ~5% row fraction but uniform over ALL buckets: subsample on a
+    # modulus coprime to the bucket fan-out (url_id % m is independent of
+    # url_id % 256 when gcd(m, 256) == 1)
+    m = max(3, round(BENCH_N_BUCKETS / n_confined)) | 1
+    spread = base.filter(F.pmod(F.col("url_id"), F.lit(m)) == 0)
+
+    # warmup (untimed): full-path pass at the spread shape
+    wn, ws, wh = dedup_candidates(spread, seen_state, 1)
+    _noop_write(wn)
+    _noop_write(ws.filter(F.col("epoch") == 1))
+    for h in wh:
+        h.unpersist()
+
+    out: dict = {"cores": cores, "n_buckets": BENCH_N_BUCKETS,
+                 "buckets_confined": n_confined,
+                 "state_bytes_total": _state_bytes(seen_state),
+                 "state_bytes_confined": _state_bytes(
+                     seen_state.filter(F.col("host_bucket") < n_confined))}
+    for name, cand in (("confined", confined), ("spread", spread)):
+        # the candidate batch is materialized OUTSIDE the timed region (the
+        # synthetic generator scans 6M rows to yield ~300k; an engine epoch
+        # gets its candidates from the already-cached fetch output)
+        cand = cand.persist()
+        out[f"n_cand_{name}"] = cand.count()
+        reps = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            # timed exactly like an engine epoch: decide + write admitted +
+            # write the changed-bucket state delta (epoch filter prunes the
+            # carried prior-state branch at the scan)
+            new1, state1, h1 = dedup_candidates(cand, seen_state, 1)
+            _noop_write(new1)
+            _noop_write(state1.filter(F.col("epoch") == 1))
+            reps.append(round(time.monotonic() - t0, 3))
+            for h in h1:
+                h.unpersist()
+            spark._jvm.System.gc()
+        out[f"t_{name}_sec"] = min(reps)
+        out[f"t_{name}_reps"] = reps
+        cand.unpersist()
+    out["touched_speedup_spread_vs_confined"] = round(
+        out["t_spread_sec"] / max(out["t_confined_sec"], 1e-9), 3
+    )
+    spark.stop()
+    return out
 
 
 def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
@@ -498,21 +630,55 @@ def _write_bench_md(payload: dict) -> None:
         "BATCH, not the crawl's history. Successive same-size epochs against",
         "a growing seen set:",
         "",
-        "| epoch | seen before | t (sec) |",
-        "|---|---|---|",
+        "| epoch | seen before | t (sec) | state bytes after |",
+        "|---|---|---|---|",
         *[
-            f"| {i} | {s:,} | {t} |"
-            for i, (s, t) in enumerate(
+            f"| {i} | {s:,} | {t} | {b:,} |"
+            for i, (s, t, b) in enumerate(
                 zip(payload["dedup_growth"]["seen_before_epoch"],
-                    payload["dedup_growth"]["t_epoch_sec"])
+                    payload["dedup_growth"]["t_epoch_sec"],
+                    payload["dedup_growth"]["state_bytes_after_epoch"]
+                    + [0] * len(payload["dedup_growth"]["t_epoch_sec"]))
             )
         ],
         "",
         f"flatness (last epoch / second epoch): "
         f"**{payload['dedup_growth']['flatness_last_vs_second']}** while the seen set "
         f"grew {max(1, len(payload['dedup_growth']['t_epoch_sec']) - 1)}x "
-        "(an O(|seen|) design would grow proportionally; epoch 0 absorbs "
-        "residual JIT warmup).",
+        f"(an O(|seen|) design would grow proportionally; epoch 0 absorbs "
+        f"residual JIT warmup). Min-merged over {N_GROWTH_SEQS} sequences on "
+        "the same fixed-heap conf as the scaling workers.",
+        "",
+        "## Dedup touched-set pruning (batch << state)",
+        "",
+        "The SAME ~5%-of-candidates batch against the SAME "
+        f"{N_SEEN:,}-url seen set, once confined to "
+        f"{payload['dedup_touched']['buckets_confined']}/{BENCH_N_BUCKETS} "
+        "host buckets and once spread across all of them. State transport "
+        "is pruned to the touched bucket set (operators/dedup.py), so the "
+        "confined run moves only its buckets' state bytes; an O(|seen|) "
+        "design would time these identically:",
+        "",
+        "| shape | candidates | buckets touched | state bytes in | t (sec) |",
+        "|---|---|---|---|---|",
+        (
+            f"| confined | {payload['dedup_touched']['n_cand_confined']:,}"
+            f" | {payload['dedup_touched']['buckets_confined']}"
+            f" | {payload['dedup_touched']['state_bytes_confined']:,}"
+            f" | {payload['dedup_touched']['t_confined_sec']} |"
+        ),
+        (
+            f"| spread | {payload['dedup_touched']['n_cand_spread']:,}"
+            f" | {BENCH_N_BUCKETS}"
+            f" | {payload['dedup_touched']['state_bytes_total']:,}"
+            f" | {payload['dedup_touched']['t_spread_sec']} |"
+        ),
+        "",
+        f"spread/confined time ratio: "
+        f"**{payload['dedup_touched']['touched_speedup_spread_vs_confined']}** "
+        "(reps: confined "
+        f"{payload['dedup_touched']['t_confined_reps']}, spread "
+        f"{payload['dedup_touched']['t_spread_reps']}).",
         "",
         "## Headline query times (sec)",
         "",
@@ -530,6 +696,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--growth-worker":
         print(json.dumps(dedup_growth(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--touched-worker":
+        print(json.dumps(dedup_touched(int(sys.argv[2]), sys.argv[3])))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -585,6 +754,13 @@ def main() -> None:
     gproc = subprocess.run(gcmd, capture_output=True, text=True, check=True, cwd=str(REPO))
     growth = json.loads(gproc.stdout.strip().splitlines()[-1])
 
+    # touched-set pruning evidence: batch << state, 5% vs 100% of buckets
+    tcmd = [sys.executable, str(REPO / "bench.py"), "--touched-worker", "32", seen_tmp]
+    if os.path.exists("/usr/bin/taskset"):
+        tcmd = ["taskset", "-c", "0-31"] + tcmd
+    tproc = subprocess.run(tcmd, capture_output=True, text=True, check=True, cwd=str(REPO))
+    touched = json.loads(tproc.stdout.strip().splitlines()[-1])
+
     scaling_raw = {}
     for c in (8, 32):
         merged = {
@@ -629,6 +805,7 @@ def main() -> None:
         "urls_dedup_per_sec": s32["urls_dedup_per_sec"],
         "scaling": scaling,
         "dedup_growth": growth,
+        "dedup_touched": touched,
     }
     import shutil
 
