@@ -363,6 +363,101 @@ def _fused_fn(epoch: int, capacity: int):
     return fn
 
 
+def revoke_seen(
+    seen_state: DataFrame,
+    revoked: DataFrame,
+    epoch: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Recrawl revocation (north_star deletion capability): remove urls from
+    the seen set so the next discovery re-admits them. Reference analog:
+    re-scraping after clearing resume state (lien_index_scraper.py:114-128).
+
+    `revoked` carries (host_bucket, url_id, url_h). Per matching bucket, the
+    keys are deleted from the packed sorted arrays, the matching cuckoo
+    fingerprints take the O(1) delete the table is maintained for, and the
+    bloom — which cannot delete — is rebuilt from the remaining keys at the
+    same capacity (deterministic bytes). Buckets with no match emit nothing;
+    the same changed/carried protocol as dedup_candidates keeps state
+    transport O(touched buckets). Returns (full_snapshot, persisted) —
+    callers unpersist `persisted` after consuming the snapshot; the engine's
+    delta write (filter epoch == current) persists only the changed rows.
+
+    Requests for urls that are not in the seen set are no-ops (exactness
+    lives in the key arrays; the filters only ever skip work)."""
+    rev = revoked.select("host_bucket", "url_id", "url_h")
+    buckets = [int(r[0]) for r in rev.select("host_bucket").distinct().collect()]
+    state_src = seen_state.filter(F.col("host_bucket").isin(buckets))
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "host_bucket": pd.Series([], dtype="int32"),
+                "bloom": pd.Series([], dtype="object"),
+                "cuckoo": pd.Series([], dtype="object"),
+                "ids": pd.Series([], dtype="object"),
+                "hs": pd.Series([], dtype="object"),
+                "n_items": pd.Series([], dtype="int64"),
+                "epoch": pd.Series([], dtype="int32"),
+            }
+        )
+        if right.empty or left.empty:
+            return empty  # nothing seen here / nothing requested
+        seen_ids = np.frombuffer(bytes(right["ids"].iloc[0]), dtype=np.int64)
+        seen_hs = np.frombuffer(bytes(right["hs"].iloc[0]), dtype=np.int64)
+        q_ids = left["url_id"].to_numpy(dtype="int64")
+        q_hs = left["url_h"].to_numpy(dtype="int64")
+        # canonical (id, h) processing order: deterministic state bytes
+        o = np.lexsort((q_hs, q_ids))
+        q_ids, q_hs = q_ids[o], q_hs[o]
+        lo = np.searchsorted(seen_ids, q_ids, side="left")
+        hi = np.searchsorted(seen_ids, q_ids, side="right")
+        one = (hi - lo == 1)
+        del_idx = lo[one & (seen_hs[np.minimum(lo, len(seen_hs) - 1)] == q_hs)]
+        extra = []
+        for j in np.flatnonzero(hi - lo > 1):  # ultra-rare 60-bit collisions
+            m = np.flatnonzero(seen_hs[lo[j]:hi[j]] == q_hs[j])
+            if len(m):
+                extra.append(lo[j] + m[0])
+        if len(extra):
+            del_idx = np.concatenate([del_idx, np.asarray(extra, dtype=del_idx.dtype)])
+        del_idx = np.unique(del_idx)
+        if not len(del_idx):
+            return empty  # no-op bucket: prior row carried JVM-side
+        removed_ids = seen_ids[del_idx]
+        keep = np.ones(len(seen_ids), dtype=bool)
+        keep[del_idx] = False
+        seen_ids2, seen_hs2 = seen_ids[keep], seen_hs[keep]
+        old_bloom = seenset.BlockedBloom.from_bytes(bytes(right["bloom"].iloc[0]))
+        bloom = seenset.BlockedBloom(old_bloom.n_blocks)
+        if len(seen_ids2):
+            bloom.insert(seen_ids2.view(np.uint64))
+        bloom.n_items = len(seen_ids2)
+        cuckoo = seenset.CuckooFilter.from_bytes(bytes(right["cuckoo"].iloc[0]))
+        cuckoo.delete(removed_ids.view(np.uint64))
+        return pd.DataFrame(
+            {
+                "host_bucket": pd.Series([right["host_bucket"].iloc[0]], dtype="int32"),
+                "bloom": [bloom.to_bytes()],
+                "cuckoo": [cuckoo.to_bytes()],
+                "ids": [seen_ids2.tobytes()],
+                "hs": [seen_hs2.tobytes()],
+                "n_items": pd.Series([len(seen_ids2)], dtype="int64"),
+                "epoch": pd.Series([epoch], dtype="int32"),
+            }
+        )
+
+    out = (
+        rev.groupBy("host_bucket")
+        .cogroup(state_src.groupBy("host_bucket"))
+        .applyInPandas(fn, _STATE_SCHEMA)
+        .persist()
+    )
+    carried = seen_state.join(
+        F.broadcast(out.select("host_bucket")), "host_bucket", "left_anti"
+    )
+    return out.unionByName(carried), [out]
+
+
 def split_seen_state(
     seen_state: DataFrame,
     n_old: int,

@@ -346,9 +346,10 @@ class CrawlEngine:
         st.commit(epoch)
 
     # ------------------------------------------------------------ phases
-    def bootstrap(self, seed_ids: list[int]) -> None:
-        """Epoch 0: search phase. seeds -> SERP pages -> initial frontier."""
-        assert self.store.last_epoch() is None, "workdir already bootstrapped"
+    def _serp_raw_candidates(self, seed_ids: list[int]) -> DataFrame:
+        """Search-phase candidate rows: seeds -> synthetic SERP pages ->
+        extracted links (reference: get_search_results,
+        lien_index_scraper.py:362-549). Used by bootstrap and reseed."""
         seeds = self.spark.createDataFrame([(int(s),) for s in seed_ids], "seed_id long")
 
         def gen_serp(it):
@@ -364,10 +365,15 @@ class CrawlEngine:
                             )
                 yield pd.DataFrame(rows, columns=_CANDIDATE_COLS)
 
-        raw = seeds.repartition(max(2, min(32, len(seed_ids)))).mapInPandas(
+        return seeds.repartition(max(2, min(32, len(seed_ids)))).mapInPandas(
             gen_serp,
             "url string, seed_id long, page int, link_order int, depth int, parent_url_id long",
         )
+
+    def bootstrap(self, seed_ids: list[int]) -> None:
+        """Epoch 0: search phase. seeds -> SERP pages -> initial frontier."""
+        assert self.store.last_epoch() is None, "workdir already bootstrapped"
+        raw = self._serp_raw_candidates(seed_ids)
         new_rows, state, handles = self._admit(raw, 0)
         new_rows = new_rows.cache()
         n_admitted = new_rows.count()
@@ -506,6 +512,100 @@ class CrawlEngine:
         return {"epoch": epoch, "granted": n_granted, "new_urls": n_new,
                 "cancelled": n_cancelled}
 
+    def revoke(self, urls: list[str]) -> dict:
+        """Recrawl revocation (north_star deletion capability; reference
+        analog: re-scraping after clearing resume state,
+        lien_index_scraper.py:114-128). Commits an epoch that removes `urls`
+        from the seen set — cuckoo fingerprint O(1) delete, bloom rebuilt
+        from the bucket's remaining keys, packed key arrays pruned — so the
+        NEXT discovery of any of them (outlink or reseed) is admitted again.
+        Urls never seen are no-ops. The revocation is lineage-tracked in the
+        `revoked` delta table (a seen_exact rebuild = seen_exact minus
+        revoked, last-wins by epoch)."""
+        prev = self.store.last_epoch()
+        assert prev is not None, "bootstrap first"
+        epoch = prev + 1
+        seen_state = self._read_seen_state(prev)
+        assert seen_state is not None
+        n_b = self._n_buckets()
+        # list for convenience; a DataFrame with a `url` column for scale
+        # (a 10^8-url revocation should not ride through the driver)
+        rev = (
+            urls
+            if isinstance(urls, DataFrame)
+            else self.spark.createDataFrame([(u,) for u in urls], "url string")
+        )
+        uid = urltools.url_id_col(F.col("url"))
+        n_requested = len(urls) if not isinstance(urls, DataFrame) else int(rev.count())
+        rev = rev.select(
+            "url",
+            uid.alias("url_id"),
+            urltools.host_bucket_col(uid, n_b).alias("host_bucket"),
+            F.xxhash64("url").alias("url_h"),
+        )
+        snapshot, handles = dedup.revoke_seen(seen_state, rev, epoch)
+        delta = snapshot.filter(F.col("epoch") == epoch)
+        # actually-removed count: bounded aggs over <= fan-out state rows
+        changed_b = [int(r[0]) for r in delta.select("host_bucket").collect()]
+        before = seen_state.filter(F.col("host_bucket").isin(changed_b)).agg(
+            F.sum("n_items")
+        ).first()[0] or 0
+        after = delta.agg(F.sum("n_items")).first()[0] or 0
+        n_removed = int(before) - int(after)
+
+        st = self.store
+        pending = st.read_snapshot(self.spark, "frontier", prev)
+        host_state = st.read_snapshot(self.spark, "host_state", prev).select(
+            "host", "tokens", F.lit(epoch).cast("int").alias("epoch")
+        )
+        st.write(
+            "revoked",
+            epoch,
+            rev.select("host_bucket", "url_id", "url", F.lit(epoch).alias("epoch")),
+        )
+        empty_rows = self.spark.createDataFrame([], pending.schema)
+        self._write_epoch(
+            epoch, pending, snapshot, host_state, empty_rows, None, None,
+            {"revoked_requested": n_requested, "revoked_removed": n_removed},
+            bucket_counts={},
+        )
+        for h in handles:
+            h.unpersist()
+        return {"epoch": epoch, "revoked": n_removed}
+
+    def reseed(self, seed_ids: list[int]) -> dict:
+        """Re-run the search phase against the CURRENT crawl state: SERP
+        candidates are deduped against the live seen set, so only urls never
+        seen — or explicitly revoked since — are admitted to the frontier
+        (reference analog: re-running the scraper after clearing resume
+        state). Returns admission counts; follow with step()/run() to drain."""
+        prev = self.store.last_epoch()
+        assert prev is not None, "bootstrap first"
+        epoch = prev + 1
+        raw = self._serp_raw_candidates(seed_ids)
+        new_rows, state, handles = self._admit(raw, epoch)
+        new_rows = new_rows.cache()
+        bucket_counts = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in new_rows.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = sum(bucket_counts.values())
+        st = self.store
+        frontier = st.read_snapshot(self.spark, "frontier", prev).unionByName(new_rows)
+        host_state = st.read_snapshot(self.spark, "host_state", prev).select(
+            "host", "tokens", F.lit(epoch).cast("int").alias("epoch")
+        )
+        state, frontier, _split = self._maybe_split(state, frontier, epoch)
+        self._write_epoch(
+            epoch, frontier, state, host_state, new_rows, None, None,
+            {"reseeded": len(seed_ids), "new_urls": n_new},
+            bucket_counts=bucket_counts,
+        )
+        new_rows.unpersist()
+        for h in handles:
+            h.unpersist()
+        return {"epoch": epoch, "new_urls": n_new}
+
     def run(self, seed_ids: list[int] | None = None, max_epochs: int = 1000) -> int:
         """Bootstrap (if needed) + drain; returns the number of drain epochs
         executed by THIS invocation (0 when resuming a drained crawl).
@@ -532,3 +632,9 @@ class CrawlEngine:
 
     def metrics(self) -> DataFrame | None:
         return self.store.read_deltas(self.spark, "metrics", self.store.last_epoch() or 0)
+
+    def revoked(self) -> DataFrame | None:
+        """Lineage of revoked urls (None when nothing was ever revoked);
+        a seen_exact disaster rebuild = seen_exact minus revoked, last
+        stamp wins."""
+        return self.store.read_deltas(self.spark, "revoked", self.store.last_epoch() or 0)

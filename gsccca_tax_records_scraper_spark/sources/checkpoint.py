@@ -40,7 +40,8 @@ SNAPSHOT_TABLES = ("frontier", "host_state")
 # seen_state is a ROW-SUPERSEDING delta table: each epoch writes only the
 # bucket rows it changed; readers keep the latest row per bucket and the
 # periodic compaction folds superseded rows away
-DELTA_TABLES = ("seen_exact", "seen_state", "records", "documents", "metrics")
+DELTA_TABLES = ("seen_exact", "seen_state", "records", "documents", "metrics",
+                "revoked")
 
 
 class _PosixFS:
