@@ -196,6 +196,12 @@ class CrawlEngine:
         effect at their epoch's commit)."""
         return int(self.store.meta("n_buckets", urltools.N_HOST_BUCKETS))
 
+    def _current_fanout(self) -> int:
+        """The fan-out the in-flight commit will establish: a split staged
+        THIS epoch (set_meta, not yet committed) or the committed value."""
+        staged = getattr(self.store, "_pending_meta", {}).get("n_buckets")
+        return int(staged) if staged is not None else self._n_buckets()
+
     # ------------------------------------------------- candidate plumbing
     def _finalize_candidates(self, df: DataFrame, epoch: int) -> DataFrame:
         """Raw (url, seed_id, page, link_order, depth, parent_url_id) rows ->
@@ -337,9 +343,21 @@ class CrawlEngine:
             ),
         )
         # fold the per-epoch seen_exact deltas periodically so resume reads
-        # stay O(1) dirs instead of O(epochs); takes effect at this commit
+        # stay O(1) dirs instead of O(epochs); takes effect at this commit.
+        # Per-epoch deltas keep the bucket labels of the fan-out that
+        # produced them (lineage), but the compacted fold RELABELS to the
+        # fan-out being committed, so post-split lineage queries group by
+        # the live bucketing instead of a mix of historical ones.
         if epoch > 0 and self.compact_every and epoch % self.compact_every == 0:
-            st.compact_deltas(self.spark, "seen_exact", epoch)
+            nb = self._current_fanout()
+            st.compact_deltas(
+                self.spark,
+                "seen_exact",
+                epoch,
+                transform=lambda df: df.withColumn(
+                    "host_bucket", urltools.host_bucket_col(F.col("url_id"), nb)
+                ),
+            )
             st.compact_deltas(
                 self.spark, "seen_state", epoch, transform=self._latest_state_rows
             )

@@ -61,6 +61,44 @@ def test_seen_state_delta_writes_only_touched_buckets(spark, tmp_path):
     assert n_ids == eng.seen().count()
 
 
+def test_compaction_relabels_seen_exact_after_split(spark, tmp_path):
+    """r3 verdict #6: per-epoch seen_exact deltas keep the bucket labels of
+    the fan-out that produced them, but the compacted fold must RELABEL to
+    the committed fan-out so post-split lineage queries group uniformly."""
+    from pyspark.sql import functions as F
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+
+    eng = CrawlEngine(
+        spark, tmp_path / "rl", epoch_seconds=60.0, compact_every=2, split_threshold=2
+    )
+    eng.run(SEEDS)
+    n_new = eng._n_buckets()
+    assert n_new > urltools.N_HOST_BUCKETS  # at least one split happened
+    comp_epoch = eng.store.compacted_epoch("seen_exact")
+    assert comp_epoch is not None
+    folded = spark.read.parquet(eng.store.compacted_path("seen_exact", comp_epoch))
+    # the fold relabels every row to the fan-out live at THAT compaction
+    # (a later split re-relabels at the next fold), so the folded dir must
+    # be UNIFORM under exactly one fan-out from the split ladder — never a
+    # mix of historical bucketings
+    ladder = []
+    nb = urltools.N_HOST_BUCKETS
+    while nb <= n_new:
+        ladder.append(nb)
+        nb *= 2
+    uniform = [
+        n for n in ladder
+        if folded.filter(
+            F.col("host_bucket") != F.pmod(F.col("url_id"), F.lit(n)).cast("int")
+        ).count() == 0
+    ]
+    assert uniform, f"folded seen_exact mixes bucket labelings (ladder={ladder})"
+    # content unchanged by relabeling
+    sim = simulate_crawl(SEEDS, epoch_seconds=60.0)
+    assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+
+
 def test_orphan_compaction_dir_ignored(spark, tmp_path):
     """A compaction dir written but never committed must not be read."""
     eng = CrawlEngine(spark, tmp_path / "o", epoch_seconds=60.0, compact_every=0)

@@ -77,6 +77,65 @@ def test_pending_backlog_triggers_split(spark, tmp_path):
     assert frontier2.select(F.max("host_bucket")).first()[0] >= urltools.N_HOST_BUCKETS
 
 
+def test_grant_set_invariant_under_fanout(spark):
+    """SURVEY §7 hard part (b): the politeness budget is per-HOST, never
+    per-bucket — doubling the bucket fan-out (what a split does to the
+    frontier) must grant the IDENTICAL per-host prefix in total crawl
+    order, for skewed budgets that bite (budget << pending)."""
+    from gsccca_tax_records_scraper_spark.operators import politeness
+
+    pending = bench._synth_candidates(spark, 6_000).withColumn(
+        "host",
+        F.when(F.pmod(F.col("url_id"), F.lit(7)) == 0, F.lit("img.gsccca.org"))
+        .otherwise(F.col("host")),
+    )
+    budgets = spark.createDataFrame(
+        [("search.gsccca.org", 37, 37.0), ("img.gsccca.org", 11, 11.0)],
+        "host string, budget long, tokens_before double",
+    )
+    n_old = urltools.N_HOST_BUCKETS
+    g_old, _ = politeness.grant(pending, budgets, 1, n_buckets=n_old)
+    re_bucketed = pending.withColumn(
+        "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_old * 2)
+    )
+    g_new, _ = politeness.grant(re_bucketed, budgets, 1, n_buckets=n_old * 2)
+    old_ids = {r.url_id for r in g_old.select("url_id").collect()}
+    new_ids = {r.url_id for r in g_new.select("url_id").collect()}
+    assert old_ids == new_ids and len(old_ids) == 37 + 11
+    # ... and both equal the brute-force per-host prefix in total order
+    rows = pending.select(
+        "url_id", "host", "crawl_order.depth", "crawl_order.seed_id",
+        "crawl_order.page", "crawl_order.link_order",
+    ).collect()
+    by_host: dict = {}
+    for r in sorted(rows, key=lambda r: (r.depth, r.seed_id, r.page, r.link_order, r.url_id)):
+        by_host.setdefault(r.host, []).append(r.url_id)
+    expect = set(by_host["search.gsccca.org"][:37]) | set(by_host["img.gsccca.org"][:11])
+    assert old_ids == expect
+
+
+def test_split_engine_grants_identical_schedule(spark, tmp_path):
+    """An engine that SPLITS mid-crawl must fetch exactly the same urls in
+    exactly the same epochs as one that never splits: the budget stays
+    per-host across the re-bucketing, so the schedule is invariant."""
+    ea = CrawlEngine(spark, tmp_path / "nosplit", epoch_seconds=60.0)
+    ea.run([3, 4])
+    eb = CrawlEngine(spark, tmp_path / "split", epoch_seconds=60.0, split_threshold=2)
+    eb.run([3, 4])
+    assert eb._n_buckets() > urltools.N_HOST_BUCKETS
+
+    def schedule(e):
+        return [
+            (r.epoch, r.url)
+            for r in e.records().orderBy(
+                "epoch", "crawl_order.depth", "crawl_order.seed_id",
+                "crawl_order.page", "crawl_order.link_order", "url_id",
+            ).collect()
+        ]
+
+    assert schedule(ea) == schedule(eb)
+
+
 def test_engine_split_e2e_seen_set_equality(spark, tmp_path):
     """Drive a crawl with a tiny split threshold: the fan-out must double
     (committed in the manifest), and the final seen set must still equal the
