@@ -32,9 +32,12 @@ ADDRESS_LINE_RE = re.compile(r"^(\d{1,5}\s+[A-Z][A-Z ]+)$", re.M)
 CITY_STATE_ZIP_RE = re.compile(r"^([A-Z ]+),\s+(GA|FL)\s+(\d{5})$", re.M)
 # skip words (realestate_index_scraper.py:148-152)
 SKIP_WORDS_RE = re.compile(r"CANCELLATION|CANCELLED|FORECLOSURE|FORECLOSED")
-# viewer JS variables (lien_index_scraper.py:649-659)
+# viewer JS variables (lien_index_scraper.py:649-659). The reference pages
+# QUOTE county/book/page (var county = "123", lien_index_scraper.py:655-657)
+# while iLienID/user/appid are bare ints — the optional quote accepts both
+# markups (r3 ADVICE #4)
 VIEWER_VAR_RES = {
-    name: re.compile(rf"var {name}\s*=\s*(\d+)")
+    name: re.compile(rf'var {name}\s*=\s*"?(\d+)"?')
     for name in ("iLienID", "county", "book", "page", "user", "appid")
 }
 # viewer-URL synthesis (F2): the reference assembles the HTML5Viewer URL

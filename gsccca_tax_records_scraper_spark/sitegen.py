@@ -198,7 +198,7 @@ def detail_html(url: str) -> str:
 <table class="party direct"><tr><td>{debtor}</td></tr></table>
 <table class="party reverse"><tr><td>{claimant}</td></tr></table>
 <div class="related">{rel_rows}</div>
-<script>var iLienID = {doc_no}; var county = {county}; var book = {book}; var page = {page}; var user = 7; var appid = 4;</script>
+<script>var iLienID = {doc_no}; var county = "{county}"; var book = "{book}"; var page = "{page}"; var user = 7; var appid = 4;</script>
 </body></html>"""
 
 

@@ -7,16 +7,23 @@ a workdir (Iceberg-style layout; plain parquet in the sandbox, the paths and
 commit protocol are format-agnostic):
 
     <workdir>/<table>/epoch=K/*.parquet     snapshot or delta per epoch
-    <workdir>/MANIFEST.json                 list of COMMITTED epochs
+    <workdir>/MANIFEST-<v>.json             list of COMMITTED epochs, versioned
 
 Commit protocol: all tables for epoch K are written first; the manifest is
-rewritten last via tmp+rename (atomic on POSIX and HDFS — same trick the
-reference uses for Excel saves, lien_index_scraper.py:204-207). A killed job
-resumes from the last committed epoch; partially-written epoch K+1 dirs are
-ignored and overwritten. Snapshot tables (frontier/host_state) are read at exactly
-one epoch; delta tables (seen_exact/seen_state/records/documents/metrics)
-are read as the union of epochs <= K (seen_state additionally keeps only
-the latest row per bucket — see DELTA_TABLES note).
+committed last by writing a FRESH monotonically-versioned file
+(tmp + rename to a name that never existed — atomic on POSIX, HDFS and any
+rename-capable store, with no delete-then-rename window in which NO
+manifest exists). Readers pick the highest READABLE version (a torn or
+corrupt higher version falls back to the previous one); superseded
+versions are pruned best-effort after the new one lands, keeping one
+predecessor. A killed job therefore always resumes from the last committed
+epoch; partially-written epoch K+1 dirs are ignored and overwritten. A
+legacy single-file MANIFEST.json (pre-versioning layout) is still read
+when no versioned manifest exists. Snapshot tables (frontier/host_state)
+are read at exactly one epoch; delta tables (seen_exact/seen_state/
+records/documents/metrics/revoked) are read as the union of epochs <= K
+(seen_state additionally keeps only the latest row per bucket — see
+DELTA_TABLES note).
 
 Filesystem abstraction: plain paths use the local POSIX fast path; URI
 workdirs (hdfs://, s3a://, file://, ...) route the manifest/_SUCCESS/rename
@@ -32,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +50,8 @@ SNAPSHOT_TABLES = ("frontier", "host_state")
 # periodic compaction folds superseded rows away
 DELTA_TABLES = ("seen_exact", "seen_state", "records", "documents", "metrics",
                 "revoked")
+
+_MANIFEST_RE = re.compile(r"^MANIFEST-(\d+)\.json$")
 
 
 class _PosixFS:
@@ -60,6 +70,18 @@ class _PosixFS:
         tmp = Path(path + ".tmp")
         tmp.write_text(text)
         os.replace(tmp, path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 class _HadoopFS:
@@ -89,6 +111,10 @@ class _HadoopFS:
         return data.decode("utf-8")
 
     def write_text_atomic(self, path: str, text: str) -> None:
+        # the versioned-manifest protocol only ever renames onto FRESH
+        # names, so this is a plain create+rename — atomic on HDFS — with
+        # no delete-then-rename window (r3 ADVICE: delete+rename left a
+        # crash window with no manifest at all)
         tmp = self._jpath(path + ".tmp")
         out = self._fs.create(tmp, True)
         try:
@@ -100,6 +126,15 @@ class _HadoopFS:
             self._fs.delete(dst, False)
         if not self._fs.rename(tmp, dst):
             raise IOError(f"rename {path}.tmp -> {path} failed")
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), False)
 
 
 class CheckpointStore:
@@ -119,17 +154,45 @@ class CheckpointStore:
             self.fs = _PosixFS()
         self.fs.mkdirs(str(self.workdir))
 
+    def manifest_path(self, version: int) -> str:
+        return f"{self.workdir}/MANIFEST-{version}.json"
+
     @property
-    def manifest_path(self) -> str:
+    def legacy_manifest_path(self) -> str:
         return f"{self.workdir}/MANIFEST.json"
 
+    def _manifest_versions(self) -> list[int]:
+        """Committed manifest versions, newest first."""
+        out = []
+        for name in self.fs.listdir(str(self.workdir)):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out, reverse=True)
+
     def _manifest(self) -> dict:
-        if not self.fs.exists(self.manifest_path):
-            return {"epochs": [], "compacted": {}, "meta": {}}
-        m = json.loads(self.fs.read_text(self.manifest_path))
-        m.setdefault("compacted", {})
-        m.setdefault("meta", {})
-        return m
+        """Highest READABLE versioned manifest; a torn/corrupt higher
+        version (crash mid-create on a store without atomic rename) falls
+        back to its predecessor, so no crash window leaves the store
+        without a manifest. Legacy single-file MANIFEST.json is read only
+        when no versioned manifest exists (pre-versioning workdirs)."""
+        for v in self._manifest_versions():
+            try:
+                m = json.loads(self.fs.read_text(self.manifest_path(v)))
+            except (ValueError, OSError):
+                continue
+            m.setdefault("compacted", {})
+            m.setdefault("meta", {})
+            return m
+        if self.fs.exists(self.legacy_manifest_path):
+            try:
+                m = json.loads(self.fs.read_text(self.legacy_manifest_path))
+                m.setdefault("compacted", {})
+                m.setdefault("meta", {})
+                return m
+            except (ValueError, OSError):
+                pass
+        return {"epochs": [], "compacted": {}, "meta": {}}
 
     def committed_epochs(self) -> list[int]:
         return sorted(self._manifest()["epochs"])
@@ -209,9 +272,20 @@ class CheckpointStore:
         meta = m["meta"]
         meta.update(getattr(self, "_pending_meta", {}))
         self._pending_meta = {}
+        versions = self._manifest_versions()
+        v_new = (versions[0] if versions else 0) + 1
+        # commit = create the NEXT version under a fresh name (no moment
+        # without a readable manifest), then prune superseded versions
+        # best-effort, keeping one predecessor for torn-write fallback
         self.fs.write_text_atomic(
-            self.manifest_path,
+            self.manifest_path(v_new),
             json.dumps(
                 {"epochs": sorted(epochs), "compacted": m["compacted"], "meta": meta}
             ),
         )
+        for v in versions:
+            if v <= v_new - 2:
+                self.fs.delete(self.manifest_path(v))
+        # a versioned manifest supersedes the legacy single file entirely
+        if self.fs.exists(self.legacy_manifest_path):
+            self.fs.delete(self.legacy_manifest_path)

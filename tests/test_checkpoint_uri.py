@@ -34,9 +34,49 @@ def test_manifest_atomicity_over_uri(spark, tmp_path):
     st.commit(0)
     st.commit(1)
     assert st.committed_epochs() == [0, 1]
-    # tmp file from the rename protocol must not linger
-    assert not (tmp_path / "atomic" / "MANIFEST.json.tmp").exists()
-    assert (tmp_path / "atomic" / "MANIFEST.json").exists()
+    names = sorted(p.name for p in (tmp_path / "atomic").glob("MANIFEST*"))
+    # versioned protocol: v2 live, v1 kept as torn-write fallback, no tmp
+    assert names == ["MANIFEST-1.json", "MANIFEST-2.json"], names
+    # a third commit prunes v1
+    st.commit(2)
+    names = sorted(p.name for p in (tmp_path / "atomic").glob("MANIFEST*"))
+    assert names == ["MANIFEST-2.json", "MANIFEST-3.json"], names
+
+
+def test_manifest_versioning_crash_windows(tmp_path):
+    """No crash window leaves the store without a readable manifest:
+    a corrupt (torn) higher version falls back to its predecessor, and a
+    pre-versioning workdir with a legacy MANIFEST.json still resumes."""
+    import json
+
+    st = CheckpointStore(tmp_path / "v")
+    st.set_meta("n_buckets", 128)
+    st.commit(0)
+    st.commit(1)
+    assert st.committed_epochs() == [0, 1]
+    # torn write of the NEXT version (crash mid-create on a non-atomic
+    # store): readers must fall back to the intact predecessor
+    (tmp_path / "v" / "MANIFEST-3.json").write_text('{"epochs": [0, 1')
+    st2 = CheckpointStore(tmp_path / "v")
+    assert st2.committed_epochs() == [0, 1]
+    assert st2.meta("n_buckets") == 128
+    # ... and the next commit supersedes the torn file with v4
+    st2.commit(2)
+    assert CheckpointStore(tmp_path / "v").committed_epochs() == [0, 1, 2]
+
+    # legacy layout: only MANIFEST.json present
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "MANIFEST.json").write_text(
+        json.dumps({"epochs": [0, 1, 2], "compacted": {}, "meta": {"n_buckets": 256}})
+    )
+    st3 = CheckpointStore(legacy)
+    assert st3.committed_epochs() == [0, 1, 2]
+    assert st3.meta("n_buckets") == 256
+    # first commit migrates to the versioned protocol and removes the relic
+    st3.commit(3)
+    assert not (legacy / "MANIFEST.json").exists()
+    assert CheckpointStore(legacy).committed_epochs() == [0, 1, 2, 3]
 
 
 def test_meta_visible_only_after_commit(tmp_path):

@@ -16,7 +16,7 @@ def test_compaction_preserves_content_and_resume(spark, tmp_path):
     comp.bootstrap(SEEDS)
     comp.step()
     comp.step()  # epoch 2 -> compaction committed
-    manifest = json.loads((comp.store.workdir / "MANIFEST.json").read_text())
+    manifest = comp.store._manifest()
     assert manifest["compacted"] == {"seen_exact": 2, "seen_state": 2}
     assert (comp.store.workdir / "seen_exact" / "compacted=2" / "_SUCCESS").exists()
     # the seen_state compaction folds superseded rows: latest-per-bucket only

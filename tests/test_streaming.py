@@ -139,3 +139,90 @@ def test_streaming_dedup_state_cap(spark, tmp_path):
             raise AssertionError("stream should have failed over the cap")
         finally:
             q.stop()
+
+
+def test_streaming_dedup_fanout_migration(spark, tmp_path):
+    """r3 ADVICE #2: a fan-out change needs a FRESH checkpoint + state
+    rebuild (state is keyed by the old bucket ids). reseed_frame replays the
+    already-admitted urls at the new fan-out; after the replay drains, live
+    dups are still dropped and only genuinely-new urls admit — exactly-once
+    survives the re-sharding."""
+    import json
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+    from gsccca_tax_records_scraper_spark.streaming.stateful import (
+        reseed_frame,
+        streaming_dedup,
+    )
+
+    urls = [f"https://search.gsccca.org/Lien/liendetails.asp?id={i}" for i in range(30)]
+    n_old, n_new = 8, 16
+
+    def rows(us, nb):
+        return [
+            {
+                "host_bucket": urltools.host_bucket_of(urltools.url_id(u), nb),
+                "url_id": urltools.url_id(u),
+                "url": u,
+            }
+            for u in us
+        ]
+
+    # phase 1: original stream at fan-out 8 admits urls[:20]
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    (src1 / "b0.json").write_text("\n".join(json.dumps(r) for r in rows(urls[:20], n_old)))
+    stream1 = (
+        spark.readStream.schema("host_bucket int, url_id long, url string")
+        .json(str(src1))
+    )
+    q1 = (
+        streaming_dedup(stream1)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mig_phase1")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    admitted1 = spark.sql("SELECT host_bucket, url_id, url FROM mig_phase1")
+    assert admitted1.count() == 20
+
+    # phase 2: FRESH checkpoint + source at fan-out 16. The replay frame
+    # (admitted output relabeled to the new fan-out) drains FIRST, then the
+    # live batch arrives with 15 dups + 10 new urls.
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    replay = [r.asDict() for r in reseed_frame(admitted1, n_new).collect()]
+    (src2 / "a_replay.json").write_text("\n".join(json.dumps(r) for r in replay))
+    (src2 / "b_live.json").write_text(
+        "\n".join(json.dumps(r) for r in rows(urls[5:30], n_new))
+    )
+    stream2 = (
+        spark.readStream.schema("host_bucket int, url_id long, url string")
+        .option("maxFilesPerTrigger", 1)  # replay file (lexically first) drains first
+        .json(str(src2))
+    )
+    q2 = (
+        streaming_dedup(stream2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mig_phase2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = [r.url for r in spark.sql("SELECT url FROM mig_phase2").collect()]
+    # replay re-admits the 20 (they are new to THIS stream) + exactly the
+    # 10 genuinely-new live urls; the 15 live dups are dropped
+    assert len(got) == len(set(got)) == 30
+    assert sorted(got) == sorted(urls)
+    # every replayed/admitted url landed in its NEW bucket
+    bad = spark.sql(
+        f"SELECT * FROM mig_phase2 WHERE host_bucket != pmod(url_id, {n_new})"
+    ).count()
+    assert bad == 0
