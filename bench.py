@@ -479,7 +479,7 @@ def dedup_touched(cores: int, seen_dir: str) -> dict:
     spread = base.filter(F.pmod(F.col("url_id"), F.lit(m)) == 0)
 
     # warmup (untimed): full-path pass at the spread shape
-    wn, ws, wh = dedup_candidates(spread, seen_state, 1)
+    wn, ws, wh = dedup_candidates(spread, seen_state, 1, prune_state=True)
     _noop_write(wn)
     _noop_write(ws.filter(F.col("epoch") == 1))
     for h in wh:
@@ -502,7 +502,7 @@ def dedup_touched(cores: int, seen_dir: str) -> dict:
             # timed exactly like an engine epoch: decide + write admitted +
             # write the changed-bucket state delta (epoch filter prunes the
             # carried prior-state branch at the scan)
-            new1, state1, h1 = dedup_candidates(cand, seen_state, 1)
+            new1, state1, h1 = dedup_candidates(cand, seen_state, 1, prune_state=True)
             _noop_write(new1)
             _noop_write(state1.filter(F.col("epoch") == 1))
             reps.append(round(time.monotonic() - t0, 3))

@@ -44,11 +44,16 @@ state-side shuffle on a real cluster (written per-bucket; the cogroup reads
 co-located partitions). Per-epoch state-byte movement is proportional to
 the TOUCHED bucket set, in both directions (the r3 verdict's #1):
 
-  - input: the state side is pruned to the batch's distinct host_buckets
+  - input: for SMALL batches (the politeness-limited regime, where state
+    >> batch) the state side is pruned to the batch's distinct host_buckets
     before the cogroup (a bounded <= fan-out driver collect builds a static
     `isin` predicate, so a bucketed/sorted state table prunes at the scan);
-    a politeness-limited epoch that touches 5% of the buckets ships 5% of
-    the state bytes into Python, not all of them;
+    an epoch that touches 5% of the buckets ships 5% of the state bytes
+    into Python, not all of them. host_bucket is a url-hash, so a batch
+    much larger than the fan-out necessarily touches every bucket — the
+    engine enables pruning only when its granted-count bound says the
+    batch is small, because the distinct-bucket pass costs one extra scan
+    of the candidate lineage (`prune_state` in dedup_candidates);
   - output: a touched bucket that admitted NOTHING (every candidate was a
     dup) emits no state row at all — only buckets the batch actually
     changed re-serialize their bytes through Arrow. The full snapshot the
@@ -517,6 +522,7 @@ def dedup_candidates(
     seen_state: DataFrame | None,
     epoch: int,
     capacity: int = seenset.DEFAULT_PARTITION_CAPACITY,
+    prune_state: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Returns (new_rows, full_seen_state_snapshot_for_epoch, persisted).
 
@@ -526,11 +532,19 @@ def dedup_candidates(
     unpersist them once new_rows/state have been consumed (the engine does;
     never clear the session-wide cache, other users' frames live there too).
 
-    Per-epoch state transport is O(touched buckets), both ways: the state
-    input is pruned to the batch's distinct buckets before the cogroup, and
-    only buckets the batch CHANGED re-serialize state bytes out of Python —
-    the returned snapshot reuses the prior epoch's rows verbatim for every
-    other bucket (module docstring has the full story).
+    Per-epoch state transport is O(touched buckets), both ways: with
+    `prune_state=True` the state input is pruned to the batch's distinct
+    buckets before the cogroup, and (always) only buckets the batch CHANGED
+    re-serialize state bytes out of Python — the returned snapshot reuses
+    the prior epoch's rows verbatim for every other bucket (module
+    docstring has the full story).
+
+    `prune_state` costs one extra scan of the candidate lineage (the
+    distinct-bucket collect), so it is the CALLER's call: host_bucket is a
+    url-hash, so any batch much larger than the fan-out touches every
+    bucket and pruning cannot help — the engine turns it on only when its
+    granted-count bound says the batch is small (plans/epoch._admit), which
+    is exactly the politeness-limited regime where state >> batch.
     """
     spark = candidates.sparkSession
     # lin_parent is the only nullable int64 (seed rows have no parent): a
@@ -542,7 +556,7 @@ def dedup_candidates(
     cand_side = flat.select(*_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"))
     if seen_state is None:
         state_src = spark.createDataFrame([], _STATE_SCHEMA)
-    else:
+    elif prune_state:
         # state-input pruning: only the buckets this batch touches enter the
         # cogroup. The distinct-bucket collect is BOUNDED (<= fan-out ints,
         # engine default 64, 4096 at 10^10 urls) and builds a STATIC isin
@@ -554,6 +568,8 @@ def dedup_candidates(
             for r in cand_side.select("host_bucket").distinct().collect()
         ]
         state_src = seen_state.filter(F.col("host_bucket").isin(touched))
+    else:
+        state_src = seen_state
 
     # ONE cogroup: keep-first + probe + exact resolve + merge (+ rebuild)
     out = (

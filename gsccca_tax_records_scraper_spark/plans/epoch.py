@@ -22,8 +22,11 @@ Shuffle budget per epoch (the 100-TB story):
   - fetch: no shuffle (narrow mapInPandas over granted).
   - dedup: 1 shuffle (the cogroup on host_bucket = url_id hash — balanced,
     no host skew); the bucket's whole seen set rides IN its state row as
-    filters + packed sorted key arrays, so no seen-side scan, join or
-    aggregation exists at all — per-epoch Arrow cost is O(batch).
+    filters + packed sorted key arrays, so no seen-side join or aggregation
+    exists. The state input is pruned to the batch's distinct buckets (one
+    bounded <= fan-out collect) and unchanged buckets emit no state row, so
+    per-epoch Arrow AND parquet state traffic is O(touched buckets), with
+    the probe/merge work O(batch).
   - writes are partition-local.
 """
 
@@ -51,6 +54,15 @@ _FETCH_SCHEMA = (
 )
 
 _CANDIDATE_COLS = ["url", "seed_id", "page", "link_order", "depth", "parent_url_id"]
+
+# outlinks-per-fetched-page upper bound (sitegen emits 5-10 SERP links and a
+# handful of detail links; real deployments size this from their parser).
+# Used to bound an epoch's candidate count for the dedup state-prune rule.
+_OUTLINKS_BOUND = 16
+# prune the dedup state input when bound(candidates) <= this many per bucket
+# (beyond that the url-hash bucketing touches every bucket anyway and the
+# distinct-bucket pass would be a wasted candidate scan)
+_PRUNE_BATCH_PER_BUCKET = 4
 
 
 def _span(kind: str, text, media_ref, offset: int):
@@ -243,19 +255,31 @@ class CrawlEngine:
         )
 
     def _admit(
-        self, raw_candidates: DataFrame, epoch: int
+        self, raw_candidates: DataFrame, epoch: int, n_cand_bound: int | None = None
     ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
         """Junk filter + robots gate + dedup; returns (new_rows, seen_state',
         persisted handles to unpersist after the epoch's writes commit).
         The seen_state snapshot carries the whole seen set (filters + packed
         exact keys per bucket), so the hot path reads ONE snapshot — the
-        seen_exact delta table is write-only here (export/lineage)."""
+        seen_exact delta table is write-only here (export/lineage).
+
+        `n_cand_bound` is the caller's upper bound on the candidate count
+        (granted pages x outlinks-per-page): when the batch is small
+        relative to the fan-out, dedup prunes its state input to the
+        touched buckets (worth one extra candidate scan); a batch >> fan-out
+        touches every bucket anyway, so pruning is skipped."""
         robots = self.robots_df()
         cands = self._finalize_candidates(raw_candidates, epoch)
         gated = politeness.apply_robots_gate(cands, robots)
         prev = self.store.last_epoch()
         seen_state = self._read_seen_state(prev) if prev is not None else None
-        new_rows, state, handles = dedup.dedup_candidates(gated, seen_state, epoch)
+        prune = (
+            n_cand_bound is not None
+            and n_cand_bound <= _PRUNE_BATCH_PER_BUCKET * self._n_buckets()
+        )
+        new_rows, state, handles = dedup.dedup_candidates(
+            gated, seen_state, epoch, prune_state=prune
+        )
         return new_rows, state, handles
 
     def _maybe_split(
@@ -495,7 +519,9 @@ class CrawlEngine:
                 F.col("url_id").alias("parent_url_id"),
             )
         )
-        new_rows, seen_state, handles = self._admit(children, epoch)
+        new_rows, seen_state, handles = self._admit(
+            children, epoch, n_cand_bound=n_granted * _OUTLINKS_BOUND
+        )
         new_rows = new_rows.cache()
         # one action for all admission metrics (total + per-bucket)
         bucket_counts = {
@@ -601,7 +627,10 @@ class CrawlEngine:
         assert prev is not None, "bootstrap first"
         epoch = prev + 1
         raw = self._serp_raw_candidates(seed_ids)
-        new_rows, state, handles = self._admit(raw, epoch)
+        # SERP fan-out bound: <= 3 pages x <= 10 links per seed (sitegen)
+        new_rows, state, handles = self._admit(
+            raw, epoch, n_cand_bound=len(seed_ids) * 30
+        )
         new_rows = new_rows.cache()
         bucket_counts = {
             int(r["host_bucket"]): int(r["n"])

@@ -39,7 +39,7 @@ def test_alldup_batch_ships_zero_state_rows(spark):
     for h in h1:
         h.unpersist()
 
-    new2, state2, h2 = dedup.dedup_candidates(c1, state1, 1)
+    new2, state2, h2 = dedup.dedup_candidates(c1, state1, 1, prune_state=True)
     assert new2.count() == 0
     # no bucket changed -> no state row crossed Arrow outbound
     assert _crossed_state_buckets(h2) == set()
@@ -56,7 +56,7 @@ def test_alldup_batch_ships_zero_state_rows(spark):
     for h in h2:
         h.unpersist()
     # idempotence at one more epoch: the carried snapshot still dedups
-    new3, _, h3 = dedup.dedup_candidates(c1, state2, 2)
+    new3, _, h3 = dedup.dedup_candidates(c1, state2, 2, prune_state=True)
     assert new3.count() == 0
     for h in h3:
         h.unpersist()
@@ -82,7 +82,7 @@ def test_confined_batch_ships_only_touched_buckets(spark):
     n_fresh = fresh.count()
     assert n_fresh > 0
 
-    new2, state2, h2 = dedup.dedup_candidates(batch, state1, 1)
+    new2, state2, h2 = dedup.dedup_candidates(batch, state1, 1, prune_state=True)
     assert new2.count() == n_fresh
     crossed = _crossed_state_buckets(h2)
     assert crossed and crossed <= set(range(5)), crossed
@@ -125,7 +125,7 @@ def test_pruned_plan_reads_only_touched_state(spark, tmp_path):
     batch = bench._synth_candidates(spark, 8_000, start=8_000).filter(
         F.col("host_bucket") < 5
     )
-    new2, state2, h2 = dedup.dedup_candidates(batch, stored, 1)
+    new2, state2, h2 = dedup.dedup_candidates(batch, stored, 1, prune_state=True)
     plan = h2[0]._jdf.queryExecution().toString()
     # the cogroup input's parquet scan carries the host_bucket In-filter
     assert "host_bucket" in plan and ("In(host_bucket" in plan or "in(host_bucket" in plan.lower()), plan[-2000:]
