@@ -5,13 +5,23 @@ The reference's dedup is URL/natural-key equality (realestate_index_scraper
 content-level dedup as well; these operators provide the standard ladder:
 
   exact        md5-fingerprint hash-groupBy (one shuffle on the fingerprint)
-  ngram        shingle-overlap blocking join (explode shingles -> self-join ->
-               pair-count filter); at scale the explode keys are rare-ish
-               3-gram shingles, so the join fan-out stays bounded
-  minhash-LSH  per-band min-hash signatures -> band-bucket self-join; only
-               bucket collisions are compared (the 10^10-doc scale path)
+  ngram        shingle-overlap blocking (explode shingles -> df-bounded
+               posting list per shingle -> JVM-side pair emission ->
+               pair-count filter); the rare-ish 3-gram shingles plus the
+               max_df cap keep per-shingle fan-out bounded
+  minhash-LSH  per-band min-hash signatures -> posting list per band bucket
+               -> pair emission; only bucket collisions are compared (the
+               10^10-doc scale path)
   simhash      sign-aggregated token-hash bits -> 64->`bits`-bit fingerprint;
-               hamming-near pairs via bucketed xor/bit_count
+               hamming-near pairs via pigeonhole-banded equi-join +
+               xor/bit_count
+
+Pair generation for ngram/LSH (many small buckets) is posting-list style
+(groupBy bucket -> array_sort(collect_list) -> flatten/transform pair
+expansion), not a self-equi-join: one exchange instead of three, and
+n*(n-1)/2 emitted rows per bucket instead of the a<b-filtered join's
+n*(n-1). Simhash keeps the equi-join — its banding yields few LARGE buckets
+where a streaming join parallelizes better than giant per-bucket arrays.
 
 All hashes are md5/hex-derived so the DuckDB oracle can reproduce them
 bit-for-bit (no engine-specific hash functions in the contract surface).
@@ -64,6 +74,21 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _pairs_from_sorted(docs: Column, make) -> Column:
+    """All (a < b) pairs from a sorted posting-list array, generated inside
+    whole-stage codegen (flatten/transform/slice — no self-join). `make(x, y)`
+    builds the output struct for one pair. Emits n*(n-1)/2 rows per bucket —
+    half the a<b-filtered equi-join's n*(n-1) — and needs no join exchange:
+    the bucket groupBy's single shuffle replaces count-groupBy + semi-join +
+    self-join on the same key."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(F.slice(docs, i + 2, F.size(docs)), lambda y: make(x, y)),
+        )
+    )
+
+
 def ngram_overlap_pairs(
     df: DataFrame,
     min_common: int,
@@ -73,7 +98,8 @@ def ngram_overlap_pairs(
     max_df: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= min_common distinct k-shingles.
-    One explode + one self-equi-join on the shingle + one pair aggregation."""
+    One explode + one posting-list aggregation per shingle + one pair
+    aggregation (no self-join)."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
@@ -90,16 +116,24 @@ def ngram_overlap_pairs(
     # SAME df window, so parity is exact by construction at every df
     # distribution (observed max df at test scales: 7 @sf0.01, 25 @sf0.1 —
     # well under the default 64).
+    # The cheap count pass runs FIRST so the posting-list aggregation never
+    # materializes a stop-shingle's full doc list: count groupBy partial-
+    # aggregates map-side (tiny shuffle), and after the semi-join every
+    # surviving shingle's list is <= max_df ids. The semi-join and the
+    # collect groupBy share one exchange on `sh` (SMJ preserves the
+    # partitioning), so the exploded table crosses the wire once.
     shared = (
         ex.groupBy("sh")
         .agg(F.count("*").alias("__n"))
         .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
     )
     ex = ex.join(shared.select("sh"), "sh", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
+    posts = ex.groupBy("sh").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
@@ -130,22 +164,20 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Distinct doc pairs colliding in at least one (band, minhash) bucket.
-    Singleton buckets are pruned before the self-join (result-identical)."""
-    shared = (
+    One groupBy on the bucket key builds the (sorted) posting list; pairs are
+    generated JVM-side from it (singleton buckets drop out via the size
+    filter), so the only exchanges are the bucket groupBy and the final
+    distinct — no self-join. A bucket of n docs stores n ids and emits
+    n*(n-1)/2 pairs, which is inherent to LSH candidate generation."""
+    posts = (
         signatures.groupBy("band", "minhash")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= 2)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    signatures = signatures.join(shared.select("band", "minhash"), ["band", "minhash"], "left_semi")
-    a, b = signatures.alias("a"), signatures.alias("b")
+    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -205,6 +237,11 @@ def simhash_near_pairs(
     ex = fingerprints.select(
         "doc_id", "simhash", F.explode(bands).alias("b")
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    # Unlike ngram/LSH, simhash banding has FEW, LARGE buckets (at most
+    # nb * 2^(bits/nb) keys), so a posting-list aggregation would build giant
+    # per-bucket arrays on a handful of tasks; the streaming equi-join
+    # parallelizes the n^2-per-bucket candidate verification instead
+    # (measured: join 10.6s vs posting-list 12-19s at sf0.1).
     shared = (
         ex.groupBy("band", "val").agg(F.count("*").alias("__n")).filter(F.col("__n") >= 2)
     )
