@@ -381,10 +381,17 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     """O(batch) evidence (r2 verdict #2, r3 verdict #1): run `n_epochs`
     successive epochs of n_cand FRESH candidates each against a GROWING seen
     set (n_cand, 2*n_cand, ... urls). With the seen set carried as packed
-    key arrays in the state row, per-epoch time must stay near-flat — the
-    old design's O(|seen|) Arrow row materialization grew it linearly.
-    Reports per-epoch state bytes alongside seconds so transport cost is
-    diagnosable from the record alone (r3 verdict minor #3)."""
+    key arrays in log-structured segment rows, per-epoch time must stay
+    near-flat — the old design's O(|seen|) Arrow row materialization grew
+    it linearly, and pre-LSM every epoch re-serialized + re-checkpointed
+    the full merged arrays. The per-epoch persist in the timed region is
+    the epoch's DELTA (its new segment rows) — exactly what the engine
+    writes to parquet; the snapshot for the next epoch is rebuilt lazily
+    from checkpointed deltas the same way the engine carries prior rows.
+    Reports per-epoch total state bytes AND delta bytes written alongside
+    seconds so transport cost is diagnosable from the record alone."""
+    from pyspark.sql import functions as F
+
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
     from gsccca_tax_records_scraper_spark.session import get_spark
 
@@ -408,6 +415,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     # the flatness signal
     all_times: list[list[float]] = []
     state_bytes: list[int] = []
+    delta_bytes: list[int] = []
     seen_sizes = [(e + 1) * n_cand for e in range(n_epochs)]
     for seq in range(N_GROWTH_SEQS):
         times: list[float] = []
@@ -418,14 +426,36 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
             t0 = time.monotonic()
             new_rows, state_new, h = dedup_candidates(cands, state, e)
             _noop_write(new_rows)
-            state_new = state_new.localCheckpoint()  # materialize for next epoch
+            # persist the epoch's DELTA only (the engine's parquet write
+            # shape): O(new segment bytes), not O(|seen|)
+            delta = state_new.filter(F.col("epoch") == e).localCheckpoint()
             times.append(round(time.monotonic() - t0, 3))
             for hh in handles:
                 hh.unpersist()
             handles = h
-            state = state_new
-            if seq == 0:
-                state_bytes.append(_state_bytes(state))  # untimed observable
+            # next epoch's snapshot: delta UNION prior rows the delta did
+            # not absorb — same carry the engine does across epochs; the
+            # lineage stays shallow (one broadcast anti-join per epoch
+            # over checkpointed inputs)
+            if state is None:
+                state = delta
+            else:
+                cov = delta.select(
+                    F.col("host_bucket").alias("__b"),
+                    F.col("lo").alias("__lo"),
+                    F.col("seg").alias("__hi"),
+                )
+                carried = state.join(
+                    F.broadcast(cov),
+                    (F.col("host_bucket") == F.col("__b"))
+                    & (F.col("seg") >= F.col("__lo"))
+                    & (F.col("seg") < F.col("__hi")),
+                    "left_anti",
+                )
+                state = delta.unionByName(carried)
+            if seq == 0:  # untimed observables
+                delta_bytes.append(_state_bytes(delta))
+                state_bytes.append(_state_bytes(state))
         for hh in handles:
             hh.unpersist()
         all_times.append(times)
@@ -443,6 +473,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
         "t_epoch_sec": times,
         "t_epoch_sequences": all_times,
         "state_bytes_after_epoch": state_bytes,
+        "state_bytes_written_per_epoch": delta_bytes,
         "flatness_last_vs_second": round(times[-1] / base, 3),
     }
 
@@ -631,18 +662,24 @@ def _write_bench_md(payload: dict) -> None:
         "",
         "## Dedup O(batch) evidence (growing seen set)",
         "",
-        "The seen set rides IN the per-bucket state row (filters + packed",
-        "sorted key arrays), so per-epoch dedup cost is dominated by the",
-        "BATCH, not the crawl's history. Successive same-size epochs against",
-        "a growing seen set:",
+        "The seen set rides in LOG-STRUCTURED per-bucket segment rows",
+        "(immutable sorted runs: filters + packed key arrays), so an epoch",
+        "probes the touched buckets' segments but WRITES only its new run —",
+        "per-epoch dedup cost is dominated by the BATCH, not the crawl's",
+        "history, in time AND in bytes persisted. Successive same-size",
+        "epochs against a growing seen set:",
         "",
-        "| epoch | seen before | t (sec) | state bytes after |",
-        "|---|---|---|---|",
+        "| epoch | seen before | t (sec) | delta bytes written | state bytes total |",
+        "|---|---|---|---|---|",
         *[
-            f"| {i} | {s:,} | {t} | {b:,} |"
-            for i, (s, t, b) in enumerate(
+            f"| {i} | {s:,} | {t} | {d:,} | {b:,} |"
+            for i, (s, t, d, b) in enumerate(
                 zip(payload["dedup_growth"]["seen_before_epoch"],
                     payload["dedup_growth"]["t_epoch_sec"],
+                    payload["dedup_growth"].get(
+                        "state_bytes_written_per_epoch",
+                        [0] * len(payload["dedup_growth"]["t_epoch_sec"]),
+                    ),
                     payload["dedup_growth"]["state_bytes_after_epoch"]
                     + [0] * len(payload["dedup_growth"]["t_epoch_sec"]))
             )
@@ -653,7 +690,9 @@ def _write_bench_md(payload: dict) -> None:
         f"grew {max(1, len(payload['dedup_growth']['t_epoch_sec']) - 1)}x "
         f"(an O(|seen|) design would grow proportionally; epoch 0 absorbs "
         f"residual JIT warmup). Min-merged over {N_GROWTH_SEQS} sequences on "
-        "the same fixed-heap conf as the scaling workers.",
+        "the same fixed-heap conf as the scaling workers; the timed region "
+        "persists the epoch's DELTA (its new segment rows) — exactly what "
+        "the engine writes per epoch.",
         "",
         "## Dedup touched-set pruning (batch << state)",
         "",

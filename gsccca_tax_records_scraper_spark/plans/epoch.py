@@ -185,15 +185,34 @@ class CrawlEngine:
 
     @staticmethod
     def _latest_state_rows(df: DataFrame) -> DataFrame:
-        """Keep the latest row per bucket (at most one row per bucket per
-        epoch, so desc-epoch row_number is deterministic)."""
+        """A bucket's LIVE segment rows from a union of state deltas:
+        (1) latest row per (bucket, seg) — revocation/split supersede in
+        place (at most one row per seg per epoch, so desc-epoch order is
+        deterministic); (2) drop segments covered by a newer row's
+        [lo, seg) interval — an epoch's new run records which older
+        segments it absorbed. Coverage is transitive (an absorbed row's
+        keys live on inside its absorber), so a running min of `lo` over
+        the higher segs decides. Both windows partition by host_bucket and
+        sort desc(seg), so Catalyst plans ONE exchange + one sort."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy("host_bucket").orderBy(F.desc("epoch"))
+        w = Window.partitionBy("host_bucket").orderBy(
+            F.desc("seg"), F.desc("epoch")
+        )
+        latest = (
+            df.withColumn("__prev", F.lag("seg").over(w))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("seg")))
+            .drop("__prev")
+        )
+        w2 = (
+            Window.partitionBy("host_bucket")
+            .orderBy(F.desc("seg"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            latest.withColumn("__mlo", F.min("lo").over(w2))
+            .filter(F.col("__mlo").isNull() | (F.col("__mlo") > F.col("seg")))
+            .drop("__mlo")
         )
 
     def _read_seen_state(self, upto_epoch: int) -> DataFrame | None:
@@ -301,7 +320,13 @@ class CrawlEngine:
         # shard, or one host's PENDING backlog exceeding threshold-per-bucket
         # (the hot-host case — more buckets directly widens the politeness
         # tournament's parallel phase-1)
-        mx_seen = seen_state.agg(F.max("n_items").alias("m")).first()["m"]
+        # a bucket's seen count = sum over its live segment rows
+        mx_seen = (
+            seen_state.groupBy("host_bucket")
+            .agg(F.sum("n_items").alias("s"))
+            .agg(F.max("s").alias("m"))
+            .first()["m"]
+        )
         mx_pend = (
             frontier.groupBy("host").count().agg(F.max("count").alias("m")).first()["m"]
         )
@@ -382,8 +407,17 @@ class CrawlEngine:
                     "host_bucket", urltools.host_bucket_col(F.col("url_id"), nb)
                 ),
             )
+            # seen_state compaction = live-row filter + per-bucket segment
+            # fold (dedup.merge_segments): compaction is the deliberate
+            # O(|seen|) rewrite, so folding the LSM stack to one run per
+            # bucket rides along at no extra I/O
             st.compact_deltas(
-                self.spark, "seen_state", epoch, transform=self._latest_state_rows
+                self.spark,
+                "seen_state",
+                epoch,
+                transform=lambda df: dedup.merge_segments(
+                    self._latest_state_rows(df)
+                ),
             )
         st.commit(epoch)
 
@@ -589,11 +623,19 @@ class CrawlEngine:
         )
         snapshot, handles = dedup.revoke_seen(seen_state, rev, epoch)
         delta = snapshot.filter(F.col("epoch") == epoch)
-        # actually-removed count: bounded aggs over <= fan-out state rows
-        changed_b = [int(r[0]) for r in delta.select("host_bucket").collect()]
-        before = seen_state.filter(F.col("host_bucket").isin(changed_b)).agg(
-            F.sum("n_items")
-        ).first()[0] or 0
+        # actually-removed count: bounded aggs over the replaced SEGMENT
+        # rows (per-(bucket,seg) supersession — untouched segments of a
+        # touched bucket don't enter either sum)
+        changed_pairs = [
+            (int(r[0]), int(r[1]))
+            for r in delta.select("host_bucket", "seg").collect()
+        ]
+        pairs_df = self.spark.createDataFrame(
+            changed_pairs or [(-1, -1)], "host_bucket int, seg int"
+        )
+        before = seen_state.join(
+            F.broadcast(pairs_df), ["host_bucket", "seg"], "left_semi"
+        ).agg(F.sum("n_items")).first()[0] or 0
         after = delta.agg(F.sum("n_items")).first()[0] or 0
         n_removed = int(before) - int(after)
 

@@ -123,12 +123,20 @@ SEEN = T.StructType(
     ]
 )
 
-# serialized blocked-Bloom + cuckoo filter state, one row per host_bucket
+# seen-set state: per host_bucket, a stack of immutable SEGMENT rows (LSM);
+# each row is one sorted run — filters sized to the run + packed key arrays.
+# seg = the run's id within its bucket (newer = higher); the row supersedes
+# segments in [lo, seg) (lo == seg for a pure append). A bucket's live seen
+# set is the union of its un-superseded rows (operators/dedup.py).
 SEEN_STATE = T.StructType(
     [
         T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("lo", T.IntegerType(), False),
         T.StructField("bloom", T.BinaryType(), False),
         T.StructField("cuckoo", T.BinaryType(), False),
+        T.StructField("ids", T.BinaryType(), False),
+        T.StructField("hs", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
         T.StructField("epoch", T.IntegerType(), False),
     ]

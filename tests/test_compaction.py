@@ -54,9 +54,10 @@ def test_seen_state_delta_writes_only_touched_buckets(spark, tmp_path):
             # one fetched page yields a handful of outlinks -> few buckets
             assert n_buckets_written[e] <= max(m["new_urls"], 1), (e, m)
     total_state = eng._read_seen_state(eng.store.last_epoch())
-    # full reconstruction: every bucket exactly once, id counts add up
-    per_bucket = total_state.groupBy("host_bucket").count().collect()
-    assert all(r["count"] == 1 for r in per_bucket)
+    # full reconstruction: live segment rows per (bucket, seg) exactly once,
+    # id counts add up to the seen set
+    per_seg = total_state.groupBy("host_bucket", "seg").count().collect()
+    assert all(r["count"] == 1 for r in per_seg)
     n_ids = sum(int(r.n_items) for r in total_state.collect())
     assert n_ids == eng.seen().count()
 

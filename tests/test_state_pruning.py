@@ -92,18 +92,30 @@ def test_confined_batch_ships_only_touched_buckets(spark):
         for r in state2.filter(F.col("epoch") == 1).select("host_bucket").collect()
     }
     assert changed == crossed
-    # full snapshot: every bucket present exactly once, untouched ones verbatim
-    rows = {r.host_bucket: r for r in state2.collect()}
-    assert len(rows) == n_buckets
-    prior = {r.host_bucket: r for r in state1.collect()}
-    for b, r in rows.items():
+    # full snapshot: every bucket present, untouched buckets' rows verbatim;
+    # changed buckets hold prior keys + the admitted ones across their live
+    # segment rows (disjoint runs, each sorted)
+    rows_by_bucket: dict[int, list] = {}
+    for r in state2.collect():
+        rows_by_bucket.setdefault(r.host_bucket, []).append(r)
+    assert len(rows_by_bucket) == n_buckets
+    prior = {r.host_bucket: r for r in state1.collect()}  # one seg per bucket
+    for b, rs in rows_by_bucket.items():
         if b not in changed:
-            assert bytes(r.ids) == bytes(prior[b].ids)
-            assert r.epoch == prior[b].epoch
+            assert len(rs) == 1
+            assert bytes(rs[0].ids) == bytes(prior[b].ids)
+            assert rs[0].epoch == prior[b].epoch
         else:
-            ids = np.frombuffer(bytes(r.ids), dtype=np.int64)
-            assert len(ids) > len(np.frombuffer(bytes(prior[b].ids), dtype=np.int64))
-            assert (np.diff(ids) >= 0).all()
+            all_ids = np.concatenate(
+                [np.frombuffer(bytes(r.ids), dtype=np.int64) for r in rs]
+            )
+            prior_ids = np.frombuffer(bytes(prior[b].ids), dtype=np.int64)
+            assert len(all_ids) == len(np.unique(all_ids))  # disjoint segments
+            assert set(prior_ids) <= set(all_ids)
+            assert len(all_ids) > len(prior_ids)
+            for r in rs:
+                ids = np.frombuffer(bytes(r.ids), dtype=np.int64)
+                assert (np.diff(ids) >= 0).all()
     for h in h2:
         h.unpersist()
 
@@ -131,4 +143,36 @@ def test_pruned_plan_reads_only_touched_state(spark, tmp_path):
     assert "host_bucket" in plan and ("In(host_bucket" in plan or "in(host_bucket" in plan.lower()), plan[-2000:]
     assert new2.count() == batch.count()
     for h in h2:
+        h.unpersist()
+
+
+def test_append_emits_only_new_run(spark):
+    """LSM output contract: an admitting batch that is SMALL relative to the
+    prior bucket state must serialize out only its new segment rows —
+    O(new keys), lo == seg (pure append), prior segment bytes untouched."""
+    c1 = bench._synth_candidates(spark, 30_000)
+    _n, state1, h1 = dedup.dedup_candidates(c1, None, 0)
+    state1 = state1.localCheckpoint()
+    prior_keys = 30_000
+    for h in h1:
+        h.unpersist()
+
+    small = bench._synth_candidates(spark, 500, start=30_000)
+    new2, state2, h2 = dedup.dedup_candidates(small, state1, 1, prune_state=True)
+    n_admitted = new2.count()
+    assert n_admitted == 500
+    out_rows = h2[0].filter(F.col("bloom").isNotNull()).collect()
+    emitted = sum(
+        len(np.frombuffer(bytes(r.ids), dtype=np.int64)) for r in out_rows
+    )
+    # pure appends: every emitted row covers nothing and the bytes that
+    # crossed Arrow outbound are exactly the admitted keys
+    assert all(r.lo == r.seg for r in out_rows)
+    assert emitted == n_admitted, (emitted, n_admitted, prior_keys)
+    # ... and the snapshot still dedups everything
+    new3, _, h3 = dedup.dedup_candidates(
+        c1.unionByName(small), state2.localCheckpoint(), 2
+    )
+    assert new3.count() == 0
+    for h in h2 + h3:
         h.unpersist()
