@@ -576,7 +576,8 @@ def _write_bench_md(payload: dict) -> None:
         "",
         f"Config: sf_dir=`{payload['sf_dir']}`, headline at local[{payload['cores']}];",
         f"crawl workloads: dedup {N_CAND:,} candidate urls vs {N_SEEN:,}-url seen set"
-        f" (blocked-Bloom+cuckoo, fused probe/resolve/insert cogroup,"
+        f" (LSM segment rows: run-sized blocked-Bloom+cuckoo + packed keys,"
+        f" fused probe/resolve/new-run cogroup,"
         f" {BENCH_N_BUCKETS} host buckets — fan-out sized for the seen set per the"
         f" engine's split rule), fetch+parse {N_PAGES:,} pages.",
         "",

@@ -232,19 +232,26 @@ def _live_segments(right: pd.DataFrame) -> list[dict]:
 
     Engine paths hand this function live rows only (the snapshot carry drops
     superseded rows eagerly), but storage reads between compactions can
-    still contain them, so the coverage rule is re-applied here: walking
-    seg-DESCENDING, a running min of `lo` over the rows already walked kills
-    any seg it covers (coverage is transitive — a superseded row's keys live
-    on inside whichever row absorbed it)."""
-    order = np.argsort(-right["seg"].to_numpy())
+    still contain them, so the coverage rule is re-applied here, mirroring
+    _latest_state_rows: newest epoch wins per (bucket, seg), then walking
+    seg-DESCENDING a running min of `lo` over ALL rows already walked kills
+    any seg it covers. Dead rows' `lo` must feed the running min too —
+    coverage is transitive (a dead row's keys, and the keys of everything
+    ITS interval covered, live on inside whichever row absorbed it, even
+    though the absorber's own interval need not reach that far down)."""
+    order = np.lexsort((-right["epoch"].to_numpy(), -right["seg"].to_numpy()))
     segs: list[dict] = []
     min_lo = None
+    prev_seg = None
     for i in order:
         seg = int(right["seg"].iloc[i])
-        if min_lo is not None and min_lo <= seg:
-            continue  # covered by a newer row's [lo, seg) interval
         lo = int(right["lo"].iloc[i])
+        covered = (min_lo is not None and min_lo <= seg) or seg == prev_seg
+        prev_seg = seg
         min_lo = lo if min_lo is None else min(min_lo, lo)
+        if covered:
+            continue  # superseded: same seg at an older epoch, or inside
+            #           a newer row's (transitive) [lo, seg) coverage
         segs.append(
             {
                 "seg": seg,

@@ -124,3 +124,33 @@ def test_merge_segments_folds_to_one_run(spark, tmp_path):
     assert new.count() == 0
     for hh in h:
         hh.unpersist()
+
+
+def test_live_segments_transitive_coverage():
+    """Pure-pandas check of the defensive storage-read filter: a chain of
+    merges (A absorbed 1-4, B later absorbed A without covering [1,4))
+    must still kill rows 1-4 — dead rows' lo feeds the running min — and
+    same-seg replacements resolve by newest epoch."""
+    import pandas as pd
+
+    def row(seg, lo, epoch, tag):
+        ids = np.array([tag], dtype=np.int64)
+        return (0, seg, lo, b"", b"", ids.tobytes(), ids.tobytes(), 1, epoch)
+
+    cols = ["host_bucket", "seg", "lo", "bloom", "cuckoo", "ids", "hs", "n_items", "epoch"]
+    rows = [
+        row(0, 0, 0, 100),   # live (below every interval)
+        row(1, 1, 1, 101),   # dead: absorbed by A
+        row(2, 2, 2, 102),   # dead: absorbed by A
+        row(3, 3, 3, 103),   # dead: absorbed by A
+        row(4, 4, 4, 104),   # dead: absorbed by A
+        row(5, 1, 5, 105),   # A = merge of [1,5) -> dead: absorbed by B
+        row(6, 6, 6, 106),   # dead: absorbed by B
+        row(7, 5, 7, 107),   # B = merge of [5,7) -> live
+        row(7, 5, 9, 108),   # B' = revoke replacement of B (same seg) -> wins
+    ]
+    pdf = pd.DataFrame(rows, columns=cols)
+    segs = dedup._live_segments(pdf.sample(frac=1.0, random_state=7))  # order-proof
+    assert [(s["seg"], s["lo"]) for s in segs] == [(0, 0), (7, 5)]
+    # the replacement epoch won the same-seg tie
+    assert int(segs[1]["ids"][0]) == 108

@@ -3,8 +3,9 @@ moved through Arrow must track the TOUCHED/CHANGED bucket set, not |seen|.
 
 The contract under test (operators/dedup.py module docstring):
   - input side: only the batch's distinct host_buckets enter the cogroup;
-  - output side: a touched-but-all-dup bucket emits NO state row (the prior
-    epoch's row is carried forward JVM-side, bit-identical);
+  - output side: a touched-but-all-dup bucket emits NO state row, and an
+    admitting bucket emits only its NEW segment run — O(new keys)
+    amortized (prior rows are carried forward JVM-side, bit-identical);
   - the returned snapshot is still the FULL seen state every epoch.
 
 `handles[0]` is the persisted cogroup output, so its state rows are exactly
@@ -122,8 +123,12 @@ def test_confined_batch_ships_only_touched_buckets(spark):
 
 def test_pruned_plan_reads_only_touched_state(spark, tmp_path):
     """The static isin predicate must reach the seen_state parquet scan
-    (PushedFilters), so a bucketed/sorted state table prunes at the file
-    level on a real deployment."""
+    (PushedFilters) THROUGH the engine's live-row windows (they partition
+    by host_bucket, so Catalyst pushes the predicate below them), so a
+    bucketed/sorted state table prunes at the file level on a real
+    deployment."""
+    from gsccca_tax_records_scraper_spark.plans.epoch import CrawlEngine
+
     c1 = bench._synth_candidates(spark, 8_000)
     new1, state1, h1 = dedup.dedup_candidates(c1, None, 0)
     path = str(tmp_path / "seen_state")
@@ -133,7 +138,8 @@ def test_pruned_plan_reads_only_touched_state(spark, tmp_path):
     for h in h1:
         h.unpersist()
 
-    stored = spark.read.parquet(path)
+    # the engine's exact read path: storage -> live-row filter -> dedup
+    stored = CrawlEngine._latest_state_rows(spark.read.parquet(path))
     batch = bench._synth_candidates(spark, 8_000, start=8_000).filter(
         F.col("host_bucket") < 5
     )
