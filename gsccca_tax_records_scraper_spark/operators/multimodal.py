@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import mediacodec
+from .scanspread import spread_scan
 
 MEDIA_SCHEMA = (
     "doc_id long, media_ref string, media_bytes binary, mime string, n_bytes int"
@@ -97,7 +98,7 @@ def extract_media_features(media: DataFrame, real_decode: bool = False) -> DataF
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return spread_scan(media).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def _real_features_one(blob: bytes) -> dict:
@@ -148,7 +149,7 @@ def extract_media_features_real(media: DataFrame) -> DataFrame:
                  "checksum", "decoded"]
             ]
 
-    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
+    return spread_scan(media).mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
 def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
@@ -182,6 +183,6 @@ def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> Data
                 rows, columns=["doc_id", "media_ref", "thumb_ppm", "width", "height"]
             )
 
-    return media.mapInPandas(
+    return spread_scan(media).mapInPandas(
         run, "doc_id long, media_ref string, thumb_ppm binary, width int, height int"
     )

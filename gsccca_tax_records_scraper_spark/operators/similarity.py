@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scanspread import spread_scan
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,7 +48,7 @@ def brute_force_topk(
     """Exact cosine top-k per query. queries: (query_id, embedding).
     Output: (query_id, vec_id, cos, rank). Queries side is broadcast —
     correct plan shape for few-queries-many-vectors."""
-    b = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    b = spread_scan(base).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = b.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
@@ -108,7 +110,7 @@ def lsh_topk(
     bucketing exactly."""
     if planes is None:
         planes = _random_planes(dim, n_planes, seed)
-    b = base.select(
+    b = spread_scan(base).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
@@ -227,7 +229,7 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, nprobe).getField("cell")
 
-    b = base.select(
+    b = spread_scan(base).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         cell_of(F.col(vec_col)).alias("cell"),
     )

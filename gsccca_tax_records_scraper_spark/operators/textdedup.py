@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scanspread import spread_scan as _spread
+
 DEFAULT_SHINGLE_K = 3
 
 
@@ -67,7 +69,7 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Exact dedup: groups of identical texts (md5 fingerprint hash-groupBy).
     Returns (fp, n_docs, min_doc_id) for groups with n_docs > 1."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp"))
+        _spread(df).select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -100,7 +102,7 @@ def ngram_overlap_pairs(
     """Near-dup candidate pairs sharing >= min_common distinct k-shingles.
     One explode + one posting-list aggregation per shingle + one pair
     aggregation (no self-join)."""
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
@@ -149,7 +151,7 @@ def minhash_signatures(
     """(doc_id, band, minhash): per band b, min over shingles of
     md5(shingle || '#b'). Lexicographic min over hex == numeric min over the
     corresponding 128-bit value, and is oracle-reproducible."""
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
@@ -199,7 +201,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(doc_id, simhash): sign-aggregate each of `bits` hash bits over the
     document's distinct tokens."""
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
     )

@@ -154,3 +154,46 @@ def test_live_segments_transitive_coverage():
     assert [(s["seg"], s["lo"]) for s in segs] == [(0, 0), (7, 5)]
     # the replacement epoch won the same-seg tie
     assert int(segs[1]["ids"][0]) == 108
+
+
+def test_revoke_replaces_only_touched_segments(spark, tmp_path):
+    """Revocation on a multi-segment bucket must re-serialize ONLY the
+    segment rows that lost a key (same seg, same lo, new epoch); untouched
+    segments carry through bit-identical, and the revoked urls re-admit."""
+    snapshot, _ = _drive(spark, tmp_path)
+    snapshot = snapshot.localCheckpoint()
+    # urls from the THIRD epoch: after the epoch-8 cascade they live in a
+    # specific segment of each bucket
+    victims = bench._synth_candidates(spark, 300, start=2 * PER_EPOCH).select(
+        "url", "url_id", "host_bucket"
+    ).withColumn("url_h", F.xxhash64("url"))
+    n_victims = victims.count()
+
+    snap2, handles = dedup.revoke_seen(snapshot, victims, epoch=99)
+    snap2 = snap2.localCheckpoint()
+    for h in handles:
+        h.unpersist()
+
+    prior = {(r.host_bucket, r.seg): r for r in snapshot.collect()}
+    now = {(r.host_bucket, r.seg): r for r in snap2.collect()}
+    assert prior.keys() == now.keys()  # revocation never changes the stack shape
+    changed = [k for k in now if now[k].epoch == 99]
+    assert changed
+    removed = 0
+    for k in prior:
+        if k in changed:
+            a = np.frombuffer(bytes(prior[k].ids), dtype=np.int64)
+            b = np.frombuffer(bytes(now[k].ids), dtype=np.int64)
+            assert len(b) < len(a) and set(b) <= set(a)
+            assert now[k].lo == prior[k].lo
+            removed += len(a) - len(b)
+        else:
+            assert bytes(now[k].ids) == bytes(prior[k].ids)
+            assert now[k].epoch == prior[k].epoch
+    assert removed == n_victims
+    # the revoked urls are re-admitted; everything else stays a dup
+    replay = bench._synth_candidates(spark, N_EPOCHS * PER_EPOCH)
+    new, _, h = dedup.dedup_candidates(replay, snap2, 100)
+    assert new.count() == n_victims
+    for hh in h:
+        hh.unpersist()
