@@ -107,7 +107,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import seenset
+from . import seenset, segstore
 
 _ORDER_COLS = [
     "crawl_order.depth",
@@ -138,6 +138,12 @@ _STATE_SCHEMA = (
     "ids binary, hs binary, n_items long, epoch int"
 )
 _STATE_COLS = ["host_bucket", "seg", "lo", "bloom", "cuckoo", "ids", "hs", "n_items", "epoch"]
+# store-backed metadata shape (operators/segstore.py): the payload lives in
+# a content-addressed write-once file; only these rows ride the Spark plan
+_META_STATE_SCHEMA = (
+    "host_bucket int, seg int, lo int, n_items long, epoch int, file string"
+)
+_META_COLS = ["host_bucket", "seg", "lo", "n_items", "epoch", "file"]
 
 # probe fan-out bound: a candidate checks at most this many segment blooms;
 # the size-tiered rule keeps the count well under it in steady state
@@ -203,6 +209,9 @@ _OUT_SCHEMA = (
     + ", seg int, lo int, bloom binary, cuckoo binary, ids binary, hs binary, "
     "n_items long, epoch int"
 )
+_OUT_META_SCHEMA = (
+    _FLAT_SCHEMA + ", seg int, lo int, n_items long, epoch int, file string"
+)
 _PAYLOAD_DTYPES = {
     "url_id": "int64", "url": "object", "host_bucket": "int32",
     "priority": "float64", "co_seed_id": "int64", "co_page": "int32",
@@ -227,8 +236,12 @@ def probe_sorted_keys(
     return found
 
 
-def _live_segments(right: pd.DataFrame) -> list[dict]:
+def _live_segments(right: pd.DataFrame, store_root: str | None = None) -> list[dict]:
     """Parse a bucket's state rows into live segments, seg-ascending.
+
+    With `store_root`, rows are METADATA (file column) and each live
+    segment's payload is loaded from the store through the worker-process
+    LRU (segstore.read_segment) — dead rows never touch the store at all.
 
     Engine paths hand this function live rows only (the snapshot carry drops
     superseded rows eagerly), but storage reads between compactions can
@@ -252,16 +265,25 @@ def _live_segments(right: pd.DataFrame) -> list[dict]:
         if covered:
             continue  # superseded: same seg at an older epoch, or inside
             #           a newer row's (transitive) [lo, seg) coverage
-        segs.append(
-            {
-                "seg": seg,
-                "lo": lo,
-                "bloom_b": bytes(right["bloom"].iloc[i]),
-                "cuckoo_b": bytes(right["cuckoo"].iloc[i]),
-                "ids": np.frombuffer(bytes(right["ids"].iloc[i]), dtype=np.int64),
-                "hs": np.frombuffer(bytes(right["hs"].iloc[i]), dtype=np.int64),
-            }
-        )
+        if store_root is None:
+            segs.append(
+                {
+                    "seg": seg,
+                    "lo": lo,
+                    "bloom_b": bytes(right["bloom"].iloc[i]),
+                    "cuckoo_b": bytes(right["cuckoo"].iloc[i]),
+                    "ids": np.frombuffer(bytes(right["ids"].iloc[i]), dtype=np.int64),
+                    "hs": np.frombuffer(bytes(right["hs"].iloc[i]), dtype=np.int64),
+                }
+            )
+        else:
+            bloom_b, cuckoo_b, ids, hs = segstore.read_segment(
+                store_root, right["file"].iloc[i]
+            )
+            segs.append(
+                {"seg": seg, "lo": lo, "bloom_b": bloom_b, "cuckoo_b": cuckoo_b,
+                 "ids": ids, "hs": hs}
+            )
     segs.reverse()  # seg-ascending (oldest first)
     return segs
 
@@ -310,36 +332,39 @@ def _build_run(ids: np.ndarray, hs: np.ndarray) -> tuple[bytes, bytes]:
     return bloom.to_bytes(), cuckoo.to_bytes()
 
 
-def _empty_out() -> pd.DataFrame:
+def _empty_out(store: bool = False) -> pd.DataFrame:
     out = pd.DataFrame(
         {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
     )
     out["seg"] = pd.Series([], dtype="int32")
     out["lo"] = pd.Series([], dtype="int32")
-    for c in ("bloom", "cuckoo", "ids", "hs"):
-        out[c] = pd.Series([], dtype="object")
+    if not store:
+        for c in ("bloom", "cuckoo", "ids", "hs"):
+            out[c] = pd.Series([], dtype="object")
     out["n_items"] = pd.Series([], dtype="int64")
     out["epoch"] = pd.Series([], dtype="int32")
+    if store:
+        out["file"] = pd.Series([], dtype="object")
     return out
 
 
-def _empty_state() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "host_bucket": pd.Series([], dtype="int32"),
-            "seg": pd.Series([], dtype="int32"),
-            "lo": pd.Series([], dtype="int32"),
-            "bloom": pd.Series([], dtype="object"),
-            "cuckoo": pd.Series([], dtype="object"),
-            "ids": pd.Series([], dtype="object"),
-            "hs": pd.Series([], dtype="object"),
-            "n_items": pd.Series([], dtype="int64"),
-            "epoch": pd.Series([], dtype="int32"),
-        }
-    )
+def _empty_state(store: bool = False) -> pd.DataFrame:
+    cols = {
+        "host_bucket": pd.Series([], dtype="int32"),
+        "seg": pd.Series([], dtype="int32"),
+        "lo": pd.Series([], dtype="int32"),
+    }
+    if not store:
+        for c in ("bloom", "cuckoo", "ids", "hs"):
+            cols[c] = pd.Series([], dtype="object")
+    cols["n_items"] = pd.Series([], dtype="int64")
+    cols["epoch"] = pd.Series([], dtype="int32")
+    if store:
+        cols["file"] = pd.Series([], dtype="object")
+    return pd.DataFrame(cols)
 
 
-def _fused_fn(epoch: int, capacity: int):
+def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
     """Cogroup body: keep-first + per-segment probe + new-run emission
     (size-tiered absorb). left = flattened candidate rows (full payload +
     url_h); right = the bucket's live segment rows (immutable sorted runs:
@@ -350,14 +375,20 @@ def _fused_fn(epoch: int, capacity: int):
     an admitting bucket emits only its new run plus whatever the tiering
     absorbed — un-absorbed segments never re-cross Arrow outbound (the
     caller carries them forward JVM-side, bit-identical). `capacity` is
-    kept for signature compatibility; runs size their own filters."""
+    kept for signature compatibility; runs size their own filters.
+
+    With `store_root` (the segment-store backend, operators/segstore.py),
+    `right` carries METADATA rows; payloads are read through the worker's
+    segment cache and the new run is WRITTEN to the store from here — the
+    emitted state row is metadata only (file non-NULL marks it), so no
+    payload bytes cross Arrow in either direction."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             # no candidates touched this bucket: nothing admitted, nothing
             # changed — emit nothing (prior segments are carried JVM-side)
-            return _empty_out()
-        segs = [] if right.empty else _live_segments(right)
+            return _empty_out(store=store_root is not None)
+        segs = [] if right.empty else _live_segments(right, store_root)
         bucket = int(left["host_bucket"].iloc[0])
 
         ids = left["url_id"].to_numpy(dtype="int64")
@@ -393,10 +424,13 @@ def _fused_fn(epoch: int, capacity: int):
         # caller reuses the prior rows JVM-side, and the bucket's state
         # bytes never cross Arrow outbound
         if not len(new_ids):
-            return pd.DataFrame(
+            empty = pd.DataFrame(
                 {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
-            ).assign(seg=0, lo=0, bloom=None, cuckoo=None, ids=None, hs=None,
-                     n_items=0, epoch=0)
+            )
+            if store_root is not None:
+                return empty.assign(seg=0, lo=0, n_items=0, epoch=0, file=None)
+            return empty.assign(seg=0, lo=0, bloom=None, cuckoo=None, ids=None,
+                                hs=None, n_items=0, epoch=0)
 
         # canonical (id, h) order for the new run: state bytes must not
         # depend on partition layout
@@ -436,10 +470,13 @@ def _fused_fn(epoch: int, capacity: int):
         out = new_rows[_PAYLOAD_COLS].copy()
         out["seg"] = np.int32(0)
         out["lo"] = np.int32(0)
-        for c in ("bloom", "cuckoo", "ids", "hs"):
-            out[c] = None
+        if store_root is None:
+            for c in ("bloom", "cuckoo", "ids", "hs"):
+                out[c] = None
         out["n_items"] = 0
         out["epoch"] = 0
+        if store_root is not None:
+            out["file"] = None
         # the state row's payload cells are TYPED ZEROS, not None: a None in
         # an int64/str column would degrade the whole concat to object dtype
         # and turn the pandas->Arrow conversion of the admitted rows into a
@@ -456,10 +493,19 @@ def _fused_fn(epoch: int, capacity: int):
         state_row["host_bucket"] = np.int32(bucket)
         state_row["seg"] = np.int32(seg_id)
         state_row["lo"] = np.int32(lo)
-        state_row["bloom"] = [bloom_b]
-        state_row["cuckoo"] = [cuckoo_b]
-        state_row["ids"] = [run_ids.tobytes()]
-        state_row["hs"] = [run_hs.tobytes()]
+        if store_root is None:
+            state_row["bloom"] = [bloom_b]
+            state_row["cuckoo"] = [cuckoo_b]
+            state_row["ids"] = [run_ids.tobytes()]
+            state_row["hs"] = [run_hs.tobytes()]
+        else:
+            # write-once, content-addressed: retries/replays converge on the
+            # same name; only this metadata row crosses Arrow outbound
+            state_row["file"] = [
+                segstore.write_segment(
+                    store_root, bucket, seg_id, bloom_b, cuckoo_b, run_ids, run_hs
+                )
+            ]
         state_row["n_items"] = np.int64(len(run_ids))
         # only CHANGED buckets reach this point (unchanged ones returned
         # early with no state row), so the stamp is always the current
@@ -475,6 +521,7 @@ def revoke_seen(
     seen_state: DataFrame,
     revoked: DataFrame,
     epoch: int,
+    store_root: str | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Recrawl revocation (north_star deletion capability): remove urls from
     the seen set so the next discovery re-admits them. Reference analog:
@@ -500,8 +547,9 @@ def revoke_seen(
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if right.empty or left.empty:
-            return _empty_state()  # nothing seen here / nothing requested
-        segs = _live_segments(right)
+            # nothing seen here / nothing requested
+            return _empty_state(store=store_root is not None)
+        segs = _live_segments(right, store_root)
         bucket = int(right["host_bucket"].iloc[0])
         q_ids = left["url_id"].to_numpy(dtype="int64")
         q_hs = left["url_h"].to_numpy(dtype="int64")
@@ -540,13 +588,26 @@ def revoke_seen(
             bloom.n_items = len(seen_ids2)
             cuckoo = seenset.CuckooFilter.from_bytes(s["cuckoo_b"])
             cuckoo.delete(removed_ids.view(np.uint64))
-            outs.append(
-                (bucket, s["seg"], s["lo"], bloom.to_bytes(), cuckoo.to_bytes(),
-                 seen_ids2.tobytes(), seen_hs2.tobytes(), len(seen_ids2), epoch)
-            )
+            if store_root is not None:
+                # new content -> new name; the row supersedes per
+                # (bucket, seg) and the old file becomes a GC orphan
+                fname = segstore.write_segment(
+                    store_root, bucket, s["seg"], bloom.to_bytes(),
+                    cuckoo.to_bytes(), seen_ids2, seen_hs2,
+                )
+                outs.append(
+                    (bucket, s["seg"], s["lo"], len(seen_ids2), epoch, fname)
+                )
+            else:
+                outs.append(
+                    (bucket, s["seg"], s["lo"], bloom.to_bytes(), cuckoo.to_bytes(),
+                     seen_ids2.tobytes(), seen_hs2.tobytes(), len(seen_ids2), epoch)
+                )
         if not outs:
-            return _empty_state()
-        out = pd.DataFrame(outs, columns=_STATE_COLS)
+            return _empty_state(store=store_root is not None)
+        out = pd.DataFrame(
+            outs, columns=_META_COLS if store_root is not None else _STATE_COLS
+        )
         out["host_bucket"] = out["host_bucket"].astype("int32")
         out["seg"] = out["seg"].astype("int32")
         out["lo"] = out["lo"].astype("int32")
@@ -557,7 +618,9 @@ def revoke_seen(
     out = (
         rev.groupBy("host_bucket")
         .cogroup(state_src.groupBy("host_bucket"))
-        .applyInPandas(fn, _STATE_SCHEMA)
+        .applyInPandas(
+            fn, _META_STATE_SCHEMA if store_root is not None else _STATE_SCHEMA
+        )
         .persist()
     )
     carried = seen_state.join(
@@ -568,17 +631,19 @@ def revoke_seen(
     return out.unionByName(carried), [out]
 
 
-def merge_segments(seen_state: DataFrame) -> DataFrame:
+def merge_segments(seen_state: DataFrame, store_root: str | None = None) -> DataFrame:
     """Fold each bucket's live segment rows into ONE run (seg = the max live
     seg id, lo = 0, epoch = the bucket's newest row epoch — all
     deterministic). This is the storage-GC moment: the engine runs it as
     the seen_state compaction transform, which is the one deliberately
     O(|seen|) rewrite; the fold rides along at no extra I/O and resets the
     LSM stack so post-compaction epochs probe a single segment per bucket.
-    Input rows must already be live (CrawlEngine._latest_state_rows)."""
+    Input rows must already be live (CrawlEngine._latest_state_rows).
+    With `store_root` the fold reads/writes segment-store files and emits
+    metadata rows; retired filenames become orphans for gc_segments."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        segs = _live_segments(pdf)
+        segs = _live_segments(pdf, store_root)
         bucket = int(pdf["host_bucket"].iloc[0])
         if segs:
             ids = np.concatenate([s["ids"] for s in segs])
@@ -591,11 +656,20 @@ def merge_segments(seen_state: DataFrame) -> DataFrame:
             hs = np.zeros(0, dtype=np.int64)
             seg_id = 0
         bloom_b, cuckoo_b = _build_run(ids, hs)
-        out = pd.DataFrame(
-            [(bucket, seg_id, 0, bloom_b, cuckoo_b, ids.tobytes(), hs.tobytes(),
-              len(ids), int(pdf["epoch"].max()))],
-            columns=_STATE_COLS,
-        )
+        epoch = int(pdf["epoch"].max())
+        if store_root is not None:
+            fname = segstore.write_segment(
+                store_root, bucket, seg_id, bloom_b, cuckoo_b, ids, hs
+            )
+            out = pd.DataFrame(
+                [(bucket, seg_id, 0, len(ids), epoch, fname)], columns=_META_COLS
+            )
+        else:
+            out = pd.DataFrame(
+                [(bucket, seg_id, 0, bloom_b, cuckoo_b, ids.tobytes(), hs.tobytes(),
+                  len(ids), epoch)],
+                columns=_STATE_COLS,
+            )
         out["host_bucket"] = out["host_bucket"].astype("int32")
         out["seg"] = out["seg"].astype("int32")
         out["lo"] = out["lo"].astype("int32")
@@ -603,7 +677,9 @@ def merge_segments(seen_state: DataFrame) -> DataFrame:
         out["epoch"] = out["epoch"].astype("int32")
         return out
 
-    return seen_state.groupBy("host_bucket").applyInPandas(fn, _STATE_SCHEMA)
+    return seen_state.groupBy("host_bucket").applyInPandas(
+        fn, _META_STATE_SCHEMA if store_root is not None else _STATE_SCHEMA
+    )
 
 
 def split_seen_state(
@@ -611,6 +687,7 @@ def split_seen_state(
     n_old: int,
     n_new: int,
     capacity: int = seenset.DEFAULT_PARTITION_CAPACITY,
+    store_root: str | None = None,
 ) -> DataFrame:
     """Raise the host-bucket fan-out n_old -> n_new (SURVEY §4.1 hot-bucket
     splitting): because host_bucket = url_id % n, doubling (or any 2^k
@@ -627,8 +704,11 @@ def split_seen_state(
             outs = []
             for i in range(len(pdf)):
                 row = pdf.iloc[i]
-                ids = np.frombuffer(bytes(row["ids"]), dtype=np.int64)
-                hs = np.frombuffer(bytes(row["hs"]), dtype=np.int64)
+                if store_root is not None:
+                    _bb, _cb, ids, hs = segstore.read_segment(store_root, row["file"])
+                else:
+                    ids = np.frombuffer(bytes(row["ids"]), dtype=np.int64)
+                    hs = np.frombuffer(bytes(row["hs"]), dtype=np.int64)
                 for nb in range(int(row["host_bucket"]), n_new, n_old):
                     sel = (ids % n_new) == nb
                     sids, shs = ids[sel], hs[sel]
@@ -637,11 +717,23 @@ def split_seen_state(
                     # parent's segment history (coverage intervals stay
                     # valid — each sibling got the same seg-id set), and
                     # later appends continue from the shared max seg
-                    outs.append(
-                        (nb, int(row["seg"]), int(row["lo"]), bloom_b, cuckoo_b,
-                         sids.tobytes(), shs.tobytes(), len(sids), int(row["epoch"]))
-                    )
-            out = pd.DataFrame(outs, columns=_STATE_COLS)
+                    if store_root is not None:
+                        fname = segstore.write_segment(
+                            store_root, nb, int(row["seg"]), bloom_b, cuckoo_b,
+                            sids, shs,
+                        )
+                        outs.append(
+                            (nb, int(row["seg"]), int(row["lo"]), len(sids),
+                             int(row["epoch"]), fname)
+                        )
+                    else:
+                        outs.append(
+                            (nb, int(row["seg"]), int(row["lo"]), bloom_b, cuckoo_b,
+                             sids.tobytes(), shs.tobytes(), len(sids), int(row["epoch"]))
+                        )
+            out = pd.DataFrame(
+                outs, columns=_META_COLS if store_root is not None else _STATE_COLS
+            )
             if len(out):
                 out["host_bucket"] = out["host_bucket"].astype("int32")
                 out["seg"] = out["seg"].astype("int32")
@@ -650,7 +742,9 @@ def split_seen_state(
                 out["epoch"] = out["epoch"].astype("int32")
             yield out
 
-    return seen_state.mapInPandas(fn, _STATE_SCHEMA)
+    return seen_state.mapInPandas(
+        fn, _META_STATE_SCHEMA if store_root is not None else _STATE_SCHEMA
+    )
 
 
 def dedup_candidates(
@@ -659,8 +753,18 @@ def dedup_candidates(
     epoch: int,
     capacity: int = seenset.DEFAULT_PARTITION_CAPACITY,
     prune_state: bool = False,
+    store_root: str | None = None,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Returns (new_rows, full_seen_state_snapshot_for_epoch, persisted).
+
+    With `store_root` the SEGMENT-STORE backend is used (segstore module):
+    `seen_state` is the metadata table (_META_STATE_SCHEMA), payload bytes
+    live in write-once files the Python workers read through a process
+    cache and write directly — state payload crosses neither Arrow
+    direction nor any shuffle, so per-epoch dataflow is O(batch rows +
+    touched-bucket metadata). Without it, payloads ride inline in the
+    state rows (_STATE_SCHEMA) — self-contained, used by tests and
+    store-less callers.
 
     `candidates` is FRONTIER-shaped. `seen_state` is SEEN_STATE-shaped
     (None on the first epoch) and carries the whole seen set per bucket.
@@ -691,8 +795,10 @@ def dedup_candidates(
         "lin_parent", F.coalesce(F.col("lin_parent"), F.lit(-1).cast("long"))
     )
     cand_side = flat.select(*_PAYLOAD_COLS, F.xxhash64("url").alias("url_h"))
+    state_schema = _META_STATE_SCHEMA if store_root is not None else _STATE_SCHEMA
+    state_cols = _META_COLS if store_root is not None else _STATE_COLS
     if seen_state is None:
-        state_src = spark.createDataFrame([], _STATE_SCHEMA)
+        state_src = spark.createDataFrame([], state_schema)
     elif prune_state:
         # state-input pruning: only the buckets this batch touches enter the
         # cogroup. The distinct-bucket collect is BOUNDED (<= fan-out ints,
@@ -712,10 +818,14 @@ def dedup_candidates(
     out = (
         cand_side.groupBy("host_bucket")
         .cogroup(state_src.groupBy("host_bucket"))
-        .applyInPandas(_fused_fn(epoch, capacity), _OUT_SCHEMA)
+        .applyInPandas(
+            _fused_fn(epoch, capacity, store_root),
+            _OUT_META_SCHEMA if store_root is not None else _OUT_SCHEMA,
+        )
         .persist()
     )
-    changed = out.filter(F.col("bloom").isNotNull()).select(*_STATE_COLS)
+    state_marker = "file" if store_root is not None else "bloom"
+    changed = out.filter(F.col(state_marker).isNotNull()).select(*state_cols)
     if seen_state is None:
         updated_state = changed
     else:
@@ -740,7 +850,7 @@ def dedup_candidates(
             "left_anti",
         )
         updated_state = changed.unionByName(carried)
-    new_flat = out.filter(F.col("bloom").isNull()).select(*_PAYLOAD_COLS).withColumn(
+    new_flat = out.filter(F.col(state_marker).isNull()).select(*_PAYLOAD_COLS).withColumn(
         "lin_parent",
         F.when(F.col("lin_parent") == -1, F.lit(None).cast("long")).otherwise(
             F.col("lin_parent")

@@ -149,12 +149,32 @@ class CrawlEngine:
         robots_rules: dict[str, RobotsRule] | None = None,
         compact_every: int = 8,
         split_threshold: int | None = None,
+        state_backend: str = "store",
     ):
         self.spark = spark
         self.store = CheckpointStore(workdir, spark)
         self.epoch_seconds = epoch_seconds
         self.robots_rules = robots_rules if robots_rules is not None else default_robots()
         self.compact_every = compact_every
+        # seen-set state backend (operators/dedup.py, operators/segstore.py):
+        #   "store"  — segment payloads in write-once content-addressed files
+        #              under <workdir>/segments, read/written by the Python
+        #              workers through a process-level cache; only metadata
+        #              rows ride the plan/checkpoint (the scale default —
+        #              state bytes cross no shuffle and no Arrow channel);
+        #   "inline" — payloads inline in the seen_state rows
+        #              (self-contained parquet; no side files).
+        # A workdir remembers its backend in the manifest meta — resuming
+        # adopts the committed value, so mixed-schema state is impossible.
+        if self.store.last_epoch() is not None:
+            state_backend = self.store.meta("state_backend", "inline")
+        assert state_backend in ("store", "inline"), state_backend
+        self.state_backend = state_backend
+        if state_backend == "store":
+            wd = self.store.workdir
+            self._seg_root = f"{wd}/segments" if isinstance(wd, str) else str(wd / "segments")
+        else:
+            self._seg_root = None
         # hot-bucket splitting (SURVEY §4.1): when any bucket's seen count
         # exceeds this, the fan-out DOUBLES at that epoch's commit (state
         # rows split locally, frontier re-bucketed; the committed fan-out
@@ -297,7 +317,7 @@ class CrawlEngine:
             and n_cand_bound <= _PRUNE_BATCH_PER_BUCKET * self._n_buckets()
         )
         new_rows, state, handles = dedup.dedup_candidates(
-            gated, seen_state, epoch, prune_state=prune
+            gated, seen_state, epoch, prune_state=prune, store_root=self._seg_root
         )
         return new_rows, state, handles
 
@@ -337,9 +357,9 @@ class CrawlEngine:
         n_new = n_old * 2
         # stamp every split row with the current epoch: a split rewrites ALL
         # buckets, and the delta write keeps only rows stamped this epoch
-        state2 = dedup.split_seen_state(seen_state, n_old, n_new).withColumn(
-            "epoch", F.lit(epoch).cast("int")
-        )
+        state2 = dedup.split_seen_state(
+            seen_state, n_old, n_new, store_root=self._seg_root
+        ).withColumn("epoch", F.lit(epoch).cast("int"))
         frontier2 = frontier.withColumn(
             "host_bucket", urltools.host_bucket_col(F.col("url_id"), n_new)
         )
@@ -416,10 +436,36 @@ class CrawlEngine:
                 "seen_state",
                 epoch,
                 transform=lambda df: dedup.merge_segments(
-                    self._latest_state_rows(df)
+                    self._latest_state_rows(df), store_root=self._seg_root
                 ),
             )
+            compacted = True
+        else:
+            compacted = False
         st.commit(epoch)
+        # segment-store GC rides the compaction cadence, AFTER the commit
+        # that retired the old metadata: files the committed metadata no
+        # longer names (absorbed runs, pre-revocation rewrites, crash
+        # orphans) are reclaimed; a crash before this point only delays GC
+        if compacted and self._seg_root is not None:
+            self._gc_segments()
+
+    def _gc_segments(self) -> int:
+        """Reclaim segment files no committed seen_state row references.
+        The referenced set is EVERY filename readable from the committed
+        delta dirs (superseded rows included — still listed means still
+        resumable), so only names retired from the metadata entirely —
+        compaction-absorbed runs, pre-revocation rewrites, crash orphans —
+        are deleted. Bounded driver collect: one string per metadata row,
+        <= fan-out x MAX_SEGS after a compaction."""
+        from ..operators import segstore
+
+        last = self.store.last_epoch()
+        df = self.store.read_deltas(self.spark, "seen_state", last)
+        if df is None:
+            return 0
+        referenced = {r[0] for r in df.select("file").distinct().collect()}
+        return segstore.gc_segments(self._seg_root, referenced)
 
     # ------------------------------------------------------------ phases
     def _serp_raw_candidates(self, seed_ids: list[int]) -> DataFrame:
@@ -449,6 +495,9 @@ class CrawlEngine:
     def bootstrap(self, seed_ids: list[int]) -> None:
         """Epoch 0: search phase. seeds -> SERP pages -> initial frontier."""
         assert self.store.last_epoch() is None, "workdir already bootstrapped"
+        # pin the backend in the manifest so resume adopts it (commits with
+        # epoch 0)
+        self.store.set_meta("state_backend", self.state_backend)
         raw = self._serp_raw_candidates(seed_ids)
         new_rows, state, handles = self._admit(raw, 0)
         new_rows = new_rows.cache()
@@ -621,7 +670,9 @@ class CrawlEngine:
             urltools.host_bucket_col(uid, n_b).alias("host_bucket"),
             F.xxhash64("url").alias("url_h"),
         )
-        snapshot, handles = dedup.revoke_seen(seen_state, rev, epoch)
+        snapshot, handles = dedup.revoke_seen(
+            seen_state, rev, epoch, store_root=self._seg_root
+        )
         delta = snapshot.filter(F.col("epoch") == epoch)
         # actually-removed count: bounded aggs over the replaced SEGMENT
         # rows (per-(bucket,seg) supersession — untouched segments of a

@@ -65,7 +65,10 @@ def test_pending_backlog_triggers_split(spark, tmp_path):
     state is large."""
     eng = CrawlEngine(spark, tmp_path / "p", epoch_seconds=60.0, split_threshold=50)
     seen_cands = bench._synth_candidates(spark, 2000)  # max bucket seen ~45 < 50
-    _new, state, h = dedup.dedup_candidates(seen_cands, None, 0)
+    # build the state with the engine's backend (store-backed metadata rows)
+    _new, state, h = dedup.dedup_candidates(
+        seen_cands, None, 0, store_root=eng._seg_root
+    )
     state = state.localCheckpoint()
     for hh in h:
         hh.unpersist()
