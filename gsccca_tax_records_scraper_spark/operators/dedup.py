@@ -56,6 +56,22 @@ bytes/url) and probe via searchsorted, so per-epoch dedup time is dominated
 by the batch, not the crawl's history (bench.py --growth evidences the
 near-flat epoch time as the seen set grows).
 
+SEGMENT-STORE BACKEND (store_root=..., the engine default): even the
+touched buckets' state bytes leave the dataflow entirely. Payloads live in
+content-addressed write-once files (operators/segstore.py — the same shape
+as Structured Streaming's per-partition state-store files); the cogroup's
+state side carries METADATA rows only (bucket, seg, lo, n_items, epoch,
+file), the probing worker loads payloads through a process-level LRU that
+immutable segments keep trivially coherent (spark.python.worker.reuse makes
+it survive across epochs), and a new run is written to the store by the
+worker that built it — so per-epoch Arrow/shuffle traffic is O(batch rows +
+touched-bucket metadata) in, O(admitted rows + one metadata row per changed
+bucket) out, regardless of the seen set's size. Payload I/O happens only on
+a worker's first probe of a segment (page-cache/DFS read) and on new-run
+writes (O(new keys), LSM-amortized). The inline variant (store_root=None)
+keeps payloads in the rows — self-contained parquet, no side files — for
+store-less callers and as the differential-testing oracle for the store.
+
 At 10^10 urls the state is ~160 GB across 4096 buckets (~40 MB/bucket —
 fine per task). Storage-bucketing seen_state by host_bucket removes the
 state-side shuffle on a real cluster (written per-bucket; the cogroup reads
