@@ -1,14 +1,29 @@
-"""Dependency-free media codecs: PPM/BMP images, PCM-WAV audio.
+"""Dependency-free media codecs: PNG/PPM/BMP images, PCM-WAV audio, and a
+minimal image-per-page PDF writer/reader.
 
-The container ships no image/audio libraries (no PIL/cv2/ffmpeg), but these
-three formats are pure header + raw-array layouts that numpy decodes
-directly, which makes the engine's media path REAL end-to-end for them:
-sniff -> decode -> feature-extract -> resize -> re-encode, all vectorized
-per blob. Compressed formats (PNG/JPEG/MP4/...) still require a codec
-library and keep the honest NotImplementedError gate in
+The container ships no image/audio libraries (no PIL/cv2/ffmpeg), but
+stdlib zlib + numpy cover every format the REFERENCE pipeline actually
+produces: the scraper screenshots pages to PNG and binds them into a PDF
+(lien_index_scraper.py:687-708 via img2pdf). PNG is zlib-compressed
+filtered scanlines — decoded here for real (chunk walk, inflate, all five
+filter reconstructions) — and the PDF writer embeds FlateDecode image
+XObjects, so the engine's media path is REAL end-to-end for the
+reference's artifact chain: sniff -> decode -> feature-extract -> resize
+-> re-encode -> PDF. Entropy-coded formats (JPEG/MP4/...) still require a
+codec library and keep the honest NotImplementedError gate in
 `operators/multimodal.py`.
 
 Format layouts implemented from their public specs:
+  PNG       RFC 2083: 8-byte signature; IHDR/PLTE/IDAT/IEND chunks; zlib
+            stream of per-scanline filter byte + samples; filters
+            None/Sub/Up/Average/Paeth. Decode: bit depth 8, color types
+            0/2/3/4/6, non-interlaced (Adam7 raises). Encode: gray / RGB /
+            RGBA, filter 0 rows.
+  PDF       one FlateDecode image XObject per page (DeviceGray/DeviceRGB,
+            8 bits), page MediaBox sized 1pt/px, cross-reference table +
+            trailer per PDF 1.4. Reader scope: PDFs of exactly this shape
+            (image-per-page Flate, i.e. this writer's output and scanned-
+            image PDFs that use raw Flate samples) — not a general parser.
   PPM (P6)  "P6\\n<w> <h>\\n<maxval>\\n" + w*h*3 RGB bytes (netpbm spec)
   BMP       BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), 24bpp,
             BI_RGB (uncompressed), 4-byte padded rows, bottom-up
@@ -18,6 +33,7 @@ Format layouts implemented from their public specs:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -27,6 +43,10 @@ class UnsupportedMediaError(ValueError):
 
 
 def sniff(blob: bytes) -> str:
+    if blob[:8] == _PNG_SIG:
+        return "image/png"
+    if blob[:5] == b"%PDF-":
+        return "application/pdf"
     if blob[:2] == b"P6":
         return "image/x-portable-pixmap"
     if blob[:2] == b"BM":
@@ -34,6 +54,203 @@ def sniff(blob: bytes) -> str:
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "audio/wav"
     return "application/octet-stream"
+
+
+# ----------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG
+    (filter 0 scanlines, one zlib stream). Deterministic bytes."""
+    assert pixels.dtype == np.uint8
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * ch)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct filtered scanlines (RFC 2083 §6). raw is (h, 1+stride)
+    uint8; returns (h, stride) uint8. Sub rows reconstruct as a per-lane
+    cumulative sum; Average/Paeth carry a true left-dependency and take a
+    per-pixel inner loop over that row only (rare rows from common
+    encoders; this module's own encoder emits filter 0)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = int(raw[r, 0])
+        cur = raw[r, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 1:  # Sub: cumulative per bpp-lane
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = cur + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential left-dependency
+            p = prev.astype(np.int64)
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                b = p[x]
+                if ftype == 3:
+                    rec[x] = cur[x] + ((a + b) >> 1)
+                else:
+                    c = p[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = cur[x] + pred
+        else:
+            raise UnsupportedMediaError(f"PNG filter type {ftype}")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[r] = prev
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG -> (h, w, ch) uint8 (palette images expand to RGB). Bit depth 8,
+    color types 0/2/3/4/6, non-interlaced; anything else raises honestly."""
+    if blob[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype_i not in _PNG_CHANNELS or interlace != 0:
+        raise UnsupportedMediaError(
+            f"PNG depth={depth} colortype={ctype_i} interlace={interlace}"
+            " (supported: depth 8, color types 0/2/3/4/6, non-interlaced)"
+        )
+    ch = _PNG_CHANNELS[ctype_i]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise UnsupportedMediaError("PNG scanline payload size mismatch")
+    pixels = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, ch).reshape(h, w, ch)
+    if ctype_i == 3:
+        if plte is None:
+            raise UnsupportedMediaError("paletted PNG without PLTE")
+        pixels = plte[pixels[:, :, 0]]
+    return pixels
+
+
+# ----------------------------------------------------------------- PDF
+def pdf_from_images(images: list[np.ndarray]) -> bytes:
+    """Bind images into a PDF, one page per image at 1pt/px — the
+    reference's PNG->PDF artifact step (lien_index_scraper.py:687-708,
+    img2pdf) re-expressed dependency-free: each page draws one FlateDecode
+    image XObject (DeviceGray or DeviceRGB, 8 bits). Deterministic bytes.
+    RGBA inputs drop alpha (PDF image XObjects carry no alpha channel)."""
+    objs: list[bytes] = []  # 1-indexed PDF objects, in object order
+
+    def xobj(img: np.ndarray) -> tuple[bytes, int, int]:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 4:
+            img = img[:, :, :3]
+        h, w, ch = img.shape
+        cs = b"/DeviceGray" if ch == 1 else b"/DeviceRGB"
+        data = zlib.compress(img.tobytes(), 6)
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace %s /BitsPerComponent 8 /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (w, h, cs, len(data))
+            + data
+            + b"\nendstream",
+            w,
+            h,
+        )
+
+    n_pages = len(images)
+    # object layout: 1=Catalog, 2=Pages, then per page i: 3+3i=Page,
+    # 4+3i=Contents, 5+3i=Image
+    kids = b" ".join(b"%d 0 R" % (3 + 3 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Count %d /Kids [%s] >>" % (n_pages, kids))
+    for i, img in enumerate(images):
+        body, w, h = xobj(img)
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Contents %d 0 R /Resources << /XObject << /Im0 %d 0 R >> >> >>"
+            % (w, h, 4 + 3 * i, 5 + 3 * i)
+        )
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        )
+        objs.append(body)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
+    """Extract the image-per-page FlateDecode XObjects of a PDF shaped like
+    pdf_from_images' output (the reference's artifact shape). Not a general
+    PDF parser: DCTDecode (JPEG) streams and content-embedded text are out
+    of scope and raise."""
+    import re
+
+    if blob[:5] != b"%PDF-":
+        raise UnsupportedMediaError("not a PDF")
+    images = []
+    for m in re.finditer(
+        rb"/Subtype\s*/Image\b(.*?)>>\s*stream\r?\n", blob, re.DOTALL
+    ):
+        head = m.group(1)
+        if b"/FlateDecode" not in head:
+            raise UnsupportedMediaError("PDF image filter not FlateDecode")
+        w = int(re.search(rb"/Width\s+(\d+)", head).group(1))
+        h = int(re.search(rb"/Height\s+(\d+)", head).group(1))
+        length = int(re.search(rb"/Length\s+(\d+)", head).group(1))
+        ch = 1 if b"/DeviceGray" in head else 3
+        data = blob[m.end() : m.end() + length]
+        img = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+        images.append(img.reshape(h, w, ch))
+    return images
 
 
 # ----------------------------------------------------------------- PPM (P6)

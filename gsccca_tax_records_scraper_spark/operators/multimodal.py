@@ -7,11 +7,15 @@ filenames in rows, lien_index_scraper.py:687-711). These operators provide
 the Spark-side plumbing for decode / feature-extract over such columns.
 
 Two decode tiers:
-  - REAL decode for the codec-free formats (PPM/BMP images, PCM-WAV audio)
-    via `operators/mediacodec` — pure numpy header+array parsing, so
-    sniff -> decode -> features -> resize -> re-encode runs end-to-end with
-    genuine values (`extract_media_features_real`, `thumbnail_images`);
-  - compressed formats (PNG/JPEG/MP4/...) need a codec library this
+  - REAL decode for PNG (stdlib-zlib inflate + full filter reconstruction,
+    `mediacodec.decode_png`) and the codec-free formats (PPM/BMP images,
+    PCM-WAV audio) via `operators/mediacodec` — so sniff -> decode ->
+    features -> resize -> re-encode runs end-to-end with genuine values
+    (`extract_media_features_real`, `thumbnail_images`), covering the
+    reference's own artifact chain (PNG screenshots -> PDF,
+    lien_index_scraper.py:687-708; `pdf_pages_table` unpacks those PDFs
+    back into per-page image rows);
+  - entropy-coded formats (JPEG/MP4/...) need a codec library this
     container lacks: `real_decode=True` without one raises
     NotImplementedError, and the md5-derived deterministic stub keeps the
     contract-checked schema/batch plumbing exercised either way.
@@ -108,7 +112,10 @@ def _real_features_one(blob: bytes) -> dict:
         "sample_rate": 0, "duration_ms": 0, "mean_value": 0.0, "decoded": False,
     }
     try:
-        if mime == "image/x-portable-pixmap":
+        if mime == "image/png":
+            out.update(mediacodec.image_features(mediacodec.decode_png(blob)))
+            out["decoded"] = True
+        elif mime == "image/x-portable-pixmap":
             out.update(mediacodec.image_features(mediacodec.decode_ppm(blob)))
             out["decoded"] = True
         elif mime == "image/bmp":
@@ -152,6 +159,50 @@ def extract_media_features_real(media: DataFrame) -> DataFrame:
     return spread_scan(media).mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
+PDF_PAGE_SCHEMA = (
+    "doc_id long, media_ref string, page int, width int, height int, "
+    "channels int, mean_value double, page_png binary"
+)
+
+
+def pdf_pages_table(media: DataFrame) -> DataFrame:
+    """Unpack image-per-page PDFs (the reference's PNG->PDF artifact shape,
+    lien_index_scraper.py:687-708) into one row per page: decoded
+    dimensions + mean pixel value + the page re-encoded as PNG. Non-PDF or
+    out-of-scope blobs (DCTDecode pages) are skipped — a derived view,
+    like thumbnail_images. Whole-blob work stays in the worker; only the
+    per-page rows cross back."""
+    import zlib as _zlib
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]):
+                blob = bytes(blob)
+                if mediacodec.sniff(blob) != "application/pdf":
+                    continue
+                try:
+                    pages = mediacodec.decode_pdf_images(blob)
+                except (mediacodec.UnsupportedMediaError, ValueError,
+                        AttributeError, _zlib.error):
+                    continue  # malformed or not the image-per-page shape
+                for p, img in enumerate(pages):
+                    rows.append(
+                        (doc_id, ref, p, img.shape[1], img.shape[0],
+                         img.shape[2], float(img.mean()),
+                         mediacodec.encode_png(img))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "page", "width", "height",
+                         "channels", "mean_value", "page_png"],
+            )
+
+    return spread_scan(media).mapInPandas(run, PDF_PAGE_SCHEMA)
+
+
 def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode (PPM) for the
     codec-free image formats; non-image/undecodable blobs are dropped (the
@@ -167,7 +218,11 @@ def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> Data
                 blob = bytes(blob)
                 mime = mediacodec.sniff(blob)
                 try:
-                    if mime == "image/x-portable-pixmap":
+                    if mime == "image/png":
+                        px = mediacodec.decode_png(blob)
+                        if px.shape[2] in (2, 4):  # GA/RGBA: drop alpha
+                            px = px[:, :, : px.shape[2] - 1]
+                    elif mime == "image/x-portable-pixmap":
                         px = mediacodec.decode_ppm(blob)
                     elif mime == "image/bmp":
                         px = mediacodec.decode_bmp(blob)
@@ -175,6 +230,8 @@ def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> Data
                         continue
                 except mediacodec.UnsupportedMediaError:
                     continue
+                if px.shape[2] == 1:  # gray PNG: replicate to RGB for PPM
+                    px = px.repeat(3, axis=2)
                 thumb = mediacodec.encode_ppm(
                     mediacodec.resize_nearest(px, out_w, out_h)
                 )

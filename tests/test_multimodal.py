@@ -115,3 +115,133 @@ def test_thumbnail_resize(spark):
     got = mc.decode_ppm(bytes(thumbs[1].thumb_ppm))
     assert got.shape == (8, 8, 3)
     assert np.array_equal(got, mc.resize_nearest(img1, 8, 8))
+
+
+# --------------------- PNG + PDF real decode (round 4) ---------------------
+
+def test_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import mediacodec as mc
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(23, 31, 3)).astype(np.uint8)
+    png = mc.encode_png(img)
+    assert mc.sniff(png) == "image/png"
+    assert np.array_equal(mc.decode_png(png), img)
+    gray = rng.randint(0, 256, size=(12, 7)).astype(np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(gray))[:, :, 0], gray)
+    rgba = rng.randint(0, 256, size=(5, 6, 4)).astype(np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(rgba)), rgba)
+
+    # hand-filtered PNG cycling ALL five filter types must reconstruct
+    h, w, ch = 6, 5, 3
+    pix = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    stride = w * ch
+    rows, prev = [], np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        cur = pix[r].reshape(-1).astype(np.int64)
+        f = r % 5
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            pred = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a, b, c = left[x], prev[x], ul[x]
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred[x] = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt = cur - pred
+        rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    hand = (mc._PNG_SIG + mc._png_chunk(b"IHDR", ihdr)
+            + mc._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + mc._png_chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(hand), pix)
+
+    # paletted PNG expands through PLTE
+    pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, size=(4, 6)).astype(np.uint8)
+    raw = np.zeros((4, 7), np.uint8)
+    raw[:, 1:] = idx
+    p3 = (mc._PNG_SIG
+          + mc._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+          + mc._png_chunk(b"PLTE", pal.tobytes())
+          + mc._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+          + mc._png_chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(p3), pal[idx])
+
+    # honest gates: interlaced and 16-bit raise
+    with pytest.raises(mc.UnsupportedMediaError):
+        mc.decode_png(mc._PNG_SIG
+                      + mc._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                      + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14)))
+    with pytest.raises(mc.UnsupportedMediaError):
+        mc.decode_png(mc._PNG_SIG
+                      + mc._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+                      + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26)))
+
+
+def test_pdf_roundtrip_and_pages_table(spark):
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import mediacodec as mc
+
+    rng = np.random.RandomState(13)
+    page1 = rng.randint(0, 256, size=(20, 15, 3)).astype(np.uint8)
+    page2 = rng.randint(0, 256, size=(11, 9)).astype(np.uint8)[:, :, None]
+    pdf = mc.pdf_from_images([page1, page2])
+    assert mc.sniff(pdf) == "application/pdf"
+    back = mc.decode_pdf_images(pdf)
+    assert len(back) == 2
+    assert np.array_equal(back[0], page1) and np.array_equal(back[1], page2)
+    # xref offsets point at their objects (a real PDF reader can seek them)
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert pdf[xref_at:xref_at + 4] == b"xref"
+
+    media = spark.createDataFrame(
+        [(9, "pdf:1", bytearray(pdf), "application/pdf", len(pdf)),
+         (10, "junk", bytearray(b"not a pdf"), "application/octet-stream", 9)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.pdf_pages_table(media).collect(), key=lambda r: r.page
+    )
+    assert [r.page for r in rows] == [0, 1] and all(r.doc_id == 9 for r in rows)
+    assert (rows[0].width, rows[0].height, rows[0].channels) == (15, 20, 3)
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (9, 11, 1)
+    got1 = mc.decode_png(bytes(rows[0].page_png))
+    assert np.array_equal(got1, page1)
+    assert abs(rows[1].mean_value - float(page2.mean())) < 1e-9
+
+
+def test_png_in_real_features_and_thumbnails(spark):
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import mediacodec as mc
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(18, 25, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(5, "png:1", bytearray(mc.encode_png(img)), "image/png", 0)],
+        multimodal.MEDIA_SCHEMA,
+    ).withColumn("n_bytes", F.octet_length("media_bytes"))
+    r = multimodal.extract_media_features_real(media).collect()[0]
+    assert r.decoded and r.mime == "image/png"
+    assert (r.width, r.height, r.channels) == (25, 18, 3)
+    assert abs(r.mean_value - float(img.mean())) < 1e-9
+    t = multimodal.thumbnail_images(media, 8, 8).collect()[0]
+    assert np.array_equal(
+        mc.decode_ppm(bytes(t.thumb_ppm)), mc.resize_nearest(img, 8, 8)
+    )
