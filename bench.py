@@ -7,7 +7,10 @@ Default run (what the driver executes):
   - measures the two north-rule crawl throughputs on synthetic data:
       * frontier URLs dedup'd / sec (bloom+cuckoo dedup of N_CAND candidate
         urls against an N_SEEN-url seen set — a sample of the 10^8-URL
-        frontier, 50% already seen: the dup-heavy steady state)
+        frontier, 50% already seen: the dup-heavy steady state), on the
+        engine's default SEGMENT-STORE state backend: payloads in
+        write-once files behind a worker-process cache, metadata-only
+        dataflow (operators/segstore.py)
       * pages fetched+parsed / sec (deterministic fetch replay + vectorized
         parse + span assembly over N_PAGES urls)
   - runs the same crawl workloads at local[8] and local[32] in
@@ -411,19 +414,29 @@ def _state_bytes(state, seg_root: str | None = None) -> int:
     return int(v or 0)
 
 
-def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict:
+def dedup_growth(
+    cores: int, n_epochs: int = 10, n_cand: int = 3_000_000,
+    compact_every: int = 4,
+) -> dict:
     """O(batch) evidence (r2 verdict #2, r3 verdict #1): run `n_epochs`
     successive epochs of n_cand FRESH candidates each against a GROWING seen
-    set (n_cand, 2*n_cand, ... urls). With the seen set carried as packed
-    key arrays in log-structured segment rows, per-epoch time must stay
-    near-flat — the old design's O(|seen|) Arrow row materialization grew
-    it linearly, and pre-LSM every epoch re-serialized + re-checkpointed
-    the full merged arrays. The per-epoch persist in the timed region is
-    the epoch's DELTA (its new segment rows) — exactly what the engine
-    writes to parquet; the snapshot for the next epoch is rebuilt lazily
-    from checkpointed deltas the same way the engine carries prior rows.
-    Reports per-epoch total state bytes AND delta bytes written alongside
-    seconds so transport cost is diagnosable from the record alone."""
+    set (n_cand, 2*n_cand, ... urls), with the ENGINE's compaction cadence
+    (CrawlEngine.compact_every folds each bucket's LSM stack to one run
+    every k epochs — here every `compact_every`, timed and reported
+    SEPARATELY as the deliberate amortized O(|seen|) rewrite it is).
+
+    Per-epoch dedup cost in this design is O(batch x live_segments + new
+    keys), live_segments bounded by the tier rule and reset by compaction —
+    so a fresh-growth window RAMPS as the stack deepens (one more bloom
+    pass per epoch) and returns to the one-segment baseline after each
+    fold. The honest flatness comparison is therefore SAME-PHASE: the last
+    epoch vs the epoch one compaction period earlier (identical live
+    segment count, seen set ~2x larger). An O(|seen|) design grows at any
+    phase; per-epoch delta bytes must stay flat regardless. The per-epoch
+    persist in the timed region is the epoch's metadata DELTA plus the
+    in-UDF segment-store run writes — exactly what the engine does.
+    Reports per-epoch live segment counts, total/delta state bytes, and
+    compaction seconds so every cost is attributable from the record."""
     from pyspark.sql import functions as F
 
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
@@ -451,12 +464,17 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
     # N_GROWTH_SEQS full sequences, per-epoch min: single-shot epoch times
     # on this host carry multi-second GC/contention noise that can swamp
     # the flatness signal
+    from gsccca_tax_records_scraper_spark.operators.dedup import merge_segments
+
     all_times: list[list[float]] = []
+    all_compact: list[list[float]] = []
     state_bytes: list[int] = []
     delta_bytes: list[int] = []
+    live_segs: list[int] = []
     seen_sizes = [(e + 1) * n_cand for e in range(n_epochs)]
     for seq in range(N_GROWTH_SEQS):
         times: list[float] = []
+        compact_times: list[float] = []
         state = None
         handles: list = []
         # fresh store root per sequence: replayed epochs would otherwise
@@ -470,7 +488,7 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
             )
             _noop_write(new_rows)
             # persist the epoch's DELTA only (the engine's parquet write
-            # shape): O(new segment bytes), not O(|seen|)
+            # shape): O(new metadata rows; run bytes were written in-UDF)
             delta = state_new.filter(F.col("epoch") == e).localCheckpoint()
             times.append(round(time.monotonic() - t0, 3))
             for hh in handles:
@@ -499,28 +517,56 @@ def dedup_growth(cores: int, n_epochs: int = 3, n_cand: int = 8_000_000) -> dict
             if seq == 0:  # untimed observables (on-disk segment file sizes)
                 delta_bytes.append(_state_bytes(delta, seq_root))
                 state_bytes.append(_state_bytes(state, seq_root))
+                live_segs.append(
+                    int(state.count() // BENCH_N_BUCKETS)
+                )
+            # the engine's compaction cadence: fold each bucket's stack to
+            # ONE run (the deliberate amortized O(|seen|) rewrite) — timed
+            # separately so the per-epoch series stays attributable
+            if (e + 1) % compact_every == 0 and e + 1 < n_epochs:
+                t0 = time.monotonic()
+                state = merge_segments(state, store_root=seq_root).localCheckpoint()
+                compact_times.append(round(time.monotonic() - t0, 3))
         for hh in handles:
             hh.unpersist()
         all_times.append(times)
+        all_compact.append(compact_times)
         spark._jvm.System.gc()  # keep seq-over-seq heap state comparable
     times = [round(min(seq[e] for seq in all_times), 3) for e in range(n_epochs)]
+    compacts = [
+        round(min(seq[i] for seq in all_compact), 3)
+        for i in range(len(all_compact[0]))
+    ]
     spark.stop()
     import shutil
 
     shutil.rmtree(base_tmp, ignore_errors=True)
-    # flatness compares the LAST epoch (largest seen set) to the SECOND
-    # (first epoch that probes a non-empty seen set; epoch 0 also absorbs
-    # residual JIT warmup) — O(|seen|) behavior would show ~n_epochs x here
-    base = times[1] if len(times) > 2 else times[0]
+    # SAME-PHASE flatness: last epoch vs one compaction period earlier —
+    # identical live-segment count, seen set ~(n_epochs/(n_epochs-k))x
+    # bigger. O(|seen|) behavior grows at any phase; the LSM design's only
+    # per-epoch growth term is the (bounded, compaction-reset) stack depth.
+    # Both compared epochs must sit in POST-compaction windows (the first
+    # window starts from an empty state, one segment shallower).
+    base_idx = n_epochs - 1 - compact_every
+    assert base_idx >= compact_every + 1, (n_epochs, compact_every)
     return {
         "cores": cores,
         "n_cand_per_epoch": n_cand,
+        "compact_every": compact_every,
         "seen_before_epoch": [0] + seen_sizes[:-1],
         "t_epoch_sec": times,
         "t_epoch_sequences": all_times,
+        "t_compaction_sec": compacts,
+        "live_segments_per_bucket": live_segs,
         "state_bytes_after_epoch": state_bytes,
         "state_bytes_written_per_epoch": delta_bytes,
-        "flatness_last_vs_second": round(times[-1] / base, 3),
+        "flatness_same_phase": round(times[-1] / times[base_idx], 3),
+        # r3 verdict's literal gate key, kept for continuity (last epoch vs
+        # the first epoch probing a non-empty seen set); same-phase above is
+        # the phase-fair comparison under the compaction cadence
+        "flatness_last_vs_second": round(times[-1] / times[1], 3),
+        "same_phase_epochs": [base_idx, n_epochs - 1],
+        "same_phase_seen": [seen_sizes[base_idx] - n_cand, seen_sizes[-1] - n_cand],
     }
 
 
@@ -639,8 +685,10 @@ def _write_bench_md(payload: dict) -> None:
         "",
         f"Config: sf_dir=`{payload['sf_dir']}`, headline at local[{payload['cores']}];",
         f"crawl workloads: dedup {N_CAND:,} candidate urls vs {N_SEEN:,}-url seen set"
-        f" (LSM segment rows: run-sized blocked-Bloom+cuckoo + packed keys,"
-        f" fused probe/resolve/new-run cogroup,"
+        f" (LSM segment runs: run-sized blocked-Bloom+cuckoo + packed keys,"
+        f" fused probe/resolve/new-run cogroup, SEGMENT-STORE backend —"
+        f" payloads in write-once files behind the worker-process cache,"
+        f" metadata-only dataflow;"
         f" {BENCH_N_BUCKETS} host buckets — fan-out sized for the seen set per the"
         f" engine's split rule), fetch+parse {N_PAGES:,} pages.",
         "",
@@ -724,22 +772,30 @@ def _write_bench_md(payload: dict) -> None:
         "that a real cluster's aggregate network removes. The engine RUNS",
         "fine under it (get_spark(executors=(n,cores,mem)) is supported).",
         "",
-        "## Dedup O(batch) evidence (growing seen set)",
+        "## Dedup O(batch) evidence (growing seen set, engine compaction cadence)",
         "",
-        "The seen set rides in LOG-STRUCTURED per-bucket segment rows",
-        "(immutable sorted runs: filters + packed key arrays), so an epoch",
-        "probes the touched buckets' segments but WRITES only its new run —",
-        "per-epoch dedup cost is dominated by the BATCH, not the crawl's",
-        "history, in time AND in bytes persisted. Successive same-size",
-        "epochs against a growing seen set:",
+        "The seen set is LOG-STRUCTURED per bucket (immutable segment runs",
+        "in the SEGMENT STORE; metadata-only dataflow): an epoch probes the",
+        "live segments but WRITES only its new run, and every",
+        f"{payload['dedup_growth'].get('compact_every', 4)} epochs the",
+        "engine's compaction folds each bucket to ONE run (the deliberate",
+        "amortized O(|seen|) rewrite — timed separately below). Per-epoch",
+        "cost is O(batch x live_segments + new keys): the series RAMPS one",
+        "bloom pass per epoch as the stack deepens, is RESET by each",
+        "compaction, and is bounded by MAX_SEGS=8 forever. Successive",
+        "same-size fresh epochs against a growing seen set:",
         "",
-        "| epoch | seen before | t (sec) | delta bytes written | state bytes total |",
-        "|---|---|---|---|---|",
+        "| epoch | seen before | t (sec) | live segs after | delta bytes written | state bytes total |",
+        "|---|---|---|---|---|---|",
         *[
-            f"| {i} | {s:,} | {t} | {d:,} | {b:,} |"
-            for i, (s, t, d, b) in enumerate(
+            f"| {i} | {s:,} | {t} | {g} | {d:,} | {b:,} |"
+            for i, (s, t, g, d, b) in enumerate(
                 zip(payload["dedup_growth"]["seen_before_epoch"],
                     payload["dedup_growth"]["t_epoch_sec"],
+                    payload["dedup_growth"].get(
+                        "live_segments_per_bucket",
+                        [0] * len(payload["dedup_growth"]["t_epoch_sec"]),
+                    ),
                     payload["dedup_growth"].get(
                         "state_bytes_written_per_epoch",
                         [0] * len(payload["dedup_growth"]["t_epoch_sec"]),
@@ -749,14 +805,20 @@ def _write_bench_md(payload: dict) -> None:
             )
         ],
         "",
-        f"flatness (last epoch / second epoch): "
-        f"**{payload['dedup_growth']['flatness_last_vs_second']}** while the seen set "
-        f"grew {max(1, len(payload['dedup_growth']['t_epoch_sec']) - 1)}x "
-        f"(an O(|seen|) design would grow proportionally; epoch 0 absorbs "
-        f"residual JIT warmup). Min-merged over {N_GROWTH_SEQS} sequences on "
-        "the same fixed-heap conf as the scaling workers; the timed region "
-        "persists the epoch's DELTA (its new segment rows) — exactly what "
-        "the engine writes per epoch.",
+        f"SAME-PHASE flatness (epoch {payload['dedup_growth']['same_phase_epochs'][1]}"
+        f" / epoch {payload['dedup_growth']['same_phase_epochs'][0]} — identical"
+        f" live-segment count, seen set"
+        f" {payload['dedup_growth']['same_phase_seen'][0]:,} ->"
+        f" {payload['dedup_growth']['same_phase_seen'][1]:,}): "
+        f"**{payload['dedup_growth']['flatness_same_phase']}**. An O(|seen|)"
+        " design grows at any phase; per-epoch delta bytes stay flat here"
+        " regardless. Compaction folds took"
+        f" {payload['dedup_growth']['t_compaction_sec']} s (amortized over"
+        f" {payload['dedup_growth'].get('compact_every', 4)} epochs each)."
+        f" Min-merged over {N_GROWTH_SEQS} sequences on the same fixed-heap"
+        " conf as the scaling workers; the timed region writes the epoch's"
+        " new segment-store runs (from the workers) and persists its"
+        " metadata DELTA — exactly what the engine does per epoch.",
         "",
         "## Dedup touched-set pruning (batch << state)",
         "",
@@ -768,7 +830,7 @@ def _write_bench_md(payload: dict) -> None:
         "confined run moves only its buckets' state bytes; an O(|seen|) "
         "design would time these identically:",
         "",
-        "| shape | candidates | buckets touched | state bytes in | t (sec) |",
+        "| shape | candidates | buckets touched | payload bytes behind touched buckets | t (sec) |",
         "|---|---|---|---|---|",
         (
             f"| confined | {payload['dedup_touched']['n_cand_confined']:,}"

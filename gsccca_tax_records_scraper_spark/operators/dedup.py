@@ -330,6 +330,26 @@ def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.
     return seen
 
 
+def tier_absorb(sizes: list[int], n_new: int) -> int:
+    """Size-tiered absorb decision for a new run of `n_new` keys landing on
+    a stack of live segments with `sizes` (seg-ascending): returns j such
+    that segments j+1.. are absorbed into the new run. The new run swallows
+    the newest segments while (i) the accumulated run is at least TWICE the
+    next one down (a key is only rewritten once >= 2x its run's size of
+    newer data arrived -> O(log |seen|) rewrites per key, and equal-sized
+    runs — the steady crawl regime — stack instead of hovering at an absorb
+    boundary), or (ii) more than MAX_SEGS segments would remain (bounds
+    probe fan-out; absorbing one run usually cascades a tier merge via rule
+    i). Depends only on sizes -> deterministic, resume-stable. Shared by
+    the batch cogroup and the streaming state operator."""
+    cum = n_new
+    j = len(sizes) - 1
+    while j >= 0 and (2 * sizes[j] <= cum or j + 2 > MAX_SEGS):
+        cum += sizes[j]
+        j -= 1
+    return j
+
+
 def _build_run(ids: np.ndarray, hs: np.ndarray) -> tuple[bytes, bytes]:
     """Bloom + cuckoo bytes for an immutable run, sized to exactly its keys
     (segments are never inserted into after creation, so no overflow path).
@@ -453,21 +473,8 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
         o = np.lexsort((new_hs, new_ids))
         new_ids, new_hs = new_ids[o], new_hs[o]
 
-        # (d) size-tiered absorb: the new run swallows the newest existing
-        # segments while (i) the accumulated run is at least TWICE the next
-        # one down (a key is only rewritten once >= 2x its run's size of
-        # newer data arrived -> O(log |seen|) rewrites per key, and
-        # equal-sized runs — the steady crawl regime — stack instead of
-        # hovering at an absorb boundary), or (ii) more than MAX_SEGS
-        # segments would remain (bounds probe fan-out; absorbing one run
-        # usually cascades a tier merge via rule i). Decisions depend only
-        # on segment SIZES -> deterministic, resume-stable.
-        sizes = [len(s["ids"]) for s in segs]
-        cum = len(new_ids)
-        j = len(segs) - 1
-        while j >= 0 and (2 * sizes[j] <= cum or j + 2 > MAX_SEGS):
-            cum += sizes[j]
-            j -= 1
+        # (d) size-tiered absorb (tier_absorb docstring has the rules)
+        j = tier_absorb([len(s["ids"]) for s in segs], len(new_ids))
         if j == len(segs) - 1:  # pure append (also the empty-bucket case)
             run_ids, run_hs = new_ids, new_hs
             seg_id = segs[-1]["seg"] + 1 if segs else 0

@@ -10,12 +10,17 @@ like the batch path (T3): a URL already in the bucket's exact set is
 dropped, a bloom false positive is resolved against the exact ids held in
 state.
 
-Differences vs the batch path, by design:
-  - state carries the bucket's exact id array — the SAME design the batch
-    path's seen_state row uses (operators/dedup.py carries packed sorted
-    key arrays per bucket); ids are 8 bytes each — 2M urls/bucket is 16 MB,
-    within state-store practice at the documented 4096-bucket layout.
-  - output mode is append (admitted urls are immutable facts).
+Two state layouts:
+  - INLINE (default): state carries the bucket's exact id array — ids are
+    8 bytes each, 2M urls/bucket is 16 MB, within state-store practice at
+    the documented 4096-bucket layout; hard-capped per bucket because the
+    whole array re-enters the state store every micro-batch commit.
+  - SEGMENT-STORE (store_root=...): the batch engine's LSM backend
+    (operators/segstore.py) — state rows hold live segment metadata only,
+    payloads are immutable content-addressed files probed through the
+    worker cache and appended O(new keys) per micro-batch, so state
+    commits stay O(MAX_SEGS) at any seen-set size and no cap is needed.
+  - output mode is append in both (admitted urls are immutable facts).
 
 GroupStateTimeout: none — the seen set never expires (a crawl's visited set
 is permanent for the run's lifetime).
@@ -23,6 +28,7 @@ is permanent for the run's lifetime).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,10 +36,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators import seenset
+from ..operators import dedup, seenset, segstore
 
 # state: one row per host_bucket
 _STATE_SCHEMA = "bloom binary, cuckoo binary, ids binary, n_items long"
+# store-backed state: LIVE segment metadata only (JSON [[seg, lo, n, file]]
+# — <= MAX_SEGS entries); payloads live in the segment store
+_STORE_STATE_SCHEMA = "meta string, n_items long"
 _OUTPUT_SCHEMA = "host_bucket int, url_id long, url string"
 
 
@@ -113,6 +122,82 @@ def _dedup_group(
         yield pd.concat(admitted, ignore_index=True)
 
 
+def _dedup_group_store(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    store_root: str,
+) -> Iterator[pd.DataFrame]:
+    """Store-backed variant: the state-store row holds LIVE segment metadata
+    only; payload bytes live in the segment store, read through the worker
+    cache and written once per micro-batch (the LSM absorb rule bounds both
+    the probe fan-out and the amortized rewrite). The per-micro-batch state
+    commit is therefore O(MAX_SEGS metadata), however large the seen set —
+    the inline variant's hard cap exists because its whole exact-id array
+    re-enters the state store every commit; here it is structurally moot.
+
+    Exactly-once under micro-batch REPLAY (post-crash re-execution against
+    rolled-back state): the replayed batch re-derives the same new-key run,
+    whose content-addressed name converges on the already-written file —
+    the write skips, the metadata row is re-committed identically. Files
+    from uncommitted batches are invisible orphans (gc_segments)."""
+    bucket = int(key[0])
+    entries: list = json.loads(state.get[0]) if state.exists else []
+    segs = []
+    for seg_id, lo, _n, fname in entries:
+        bloom_b, cuckoo_b, ids, hs = segstore.read_segment(store_root, fname)
+        segs.append({"seg": seg_id, "lo": lo, "bloom_b": bloom_b,
+                     "cuckoo_b": cuckoo_b, "ids": ids, "hs": hs})
+    admitted = []
+    batch_ids = np.zeros(0, dtype=np.int64)
+    batch_hs = np.zeros(0, dtype=np.int64)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # in-batch keep-first (urls may repeat within one micro-batch)
+        pdf = pdf.drop_duplicates("url_id", keep="first")
+        ids = pdf["url_id"].to_numpy(dtype="int64")
+        hs = pdf["url_h"].to_numpy(dtype="int64")
+        seen = dedup.probe_segments(segs, ids, hs)
+        if len(batch_ids):
+            # earlier chunks of this micro-batch already admitted these
+            seen |= dedup.probe_sorted_keys(batch_ids, batch_hs, ids, hs)
+        new = pdf[~seen]
+        if len(new):
+            nids = new["url_id"].to_numpy(dtype="int64")
+            nhs = new["url_h"].to_numpy(dtype="int64")
+            batch_ids = np.concatenate([batch_ids, nids])
+            batch_hs = np.concatenate([batch_hs, nhs])
+            o = np.lexsort((batch_hs, batch_ids))
+            batch_ids, batch_hs = batch_ids[o], batch_hs[o]
+            admitted.append(new[["host_bucket", "url_id", "url"]])
+    if len(batch_ids):
+        j = dedup.tier_absorb([len(s["ids"]) for s in segs], len(batch_ids))
+        if j == len(segs) - 1:  # pure append (also the empty-state case)
+            run_ids, run_hs = batch_ids, batch_hs
+            seg_id = segs[-1]["seg"] + 1 if segs else 0
+            lo = seg_id
+        else:
+            absorbed = segs[j + 1:]
+            run_ids = np.concatenate([s["ids"] for s in absorbed] + [batch_ids])
+            run_hs = np.concatenate([s["hs"] for s in absorbed] + [batch_hs])
+            oo = np.lexsort((run_hs, run_ids))
+            run_ids, run_hs = run_ids[oo], run_hs[oo]
+            seg_id = segs[-1]["seg"] + 1
+            lo = 0 if j < 0 else absorbed[0]["seg"]
+        bloom_b, cuckoo_b = dedup._build_run(run_ids, run_hs)
+        fname = segstore.write_segment(
+            store_root, bucket, seg_id, bloom_b, cuckoo_b, run_ids, run_hs
+        )
+        # the state row lists LIVE entries only: absorbed ones drop now
+        # (no coverage-interval reconstruction on a state-store read)
+        entries = [e for e in entries if not (lo <= e[0] < seg_id)]
+        entries.append([seg_id, lo, int(len(run_ids)), fname])
+        state.update((json.dumps(entries), int(sum(e[2] for e in entries))))
+    if admitted:
+        yield pd.concat(admitted, ignore_index=True)
+
+
 # default cap: 4M ids = 32 MB exact array per state row (plus ~2 MB filters)
 # — at the documented 4096-bucket layout that bounds lifetime capacity at
 # ~1.6*10^10 urls while keeping every state-row rewrite micro-batch-friendly
@@ -120,14 +205,44 @@ DEFAULT_MAX_IDS_PER_BUCKET = 4_000_000
 
 
 def streaming_dedup(
-    candidates: DataFrame, max_ids_per_bucket: int = DEFAULT_MAX_IDS_PER_BUCKET
+    candidates: DataFrame,
+    max_ids_per_bucket: int = DEFAULT_MAX_IDS_PER_BUCKET,
+    store_root: str | None = None,
 ) -> DataFrame:
     """candidates: a STREAMING DataFrame with (host_bucket int, url_id long,
     url string). Returns the admitted-urls stream (append mode): each url
     appears exactly once across the stream's lifetime, first delivery wins.
-    Per-bucket state is hard-capped at `max_ids_per_bucket` exact ids (the
-    documented sizing invariant: n_buckets * cap >= crawl lifetime urls);
-    crossing it raises instead of growing without bound."""
+
+    Default (inline) state: per-bucket state is hard-capped at
+    `max_ids_per_bucket` exact ids (the documented sizing invariant:
+    n_buckets * cap >= crawl lifetime urls); crossing it raises instead of
+    growing without bound.
+
+    With `store_root` the batch engine's segment-store backend carries the
+    payloads (operators/segstore.py): state rows hold live segment METADATA
+    only, micro-batch state commits are O(metadata) however large the seen
+    set, and the cap is structurally unnecessary (no argument). The 128-bit
+    identity (url_id + xxhash64(url)) matches the batch path. The fan-out
+    note on the inline cap error applies to BOTH variants: state is keyed
+    by host_bucket, so a fan-out change needs a fresh checkpoint plus a
+    reseed_frame replay."""
+    if store_root is not None:
+        from pyspark.sql import functions as F
+
+        def fn_store(key, pdfs, state):
+            return _dedup_group_store(key, pdfs, state, store_root)
+
+        return (
+            candidates.withColumn("url_h", F.xxhash64("url"))
+            .groupBy("host_bucket")
+            .applyInPandasWithState(
+                fn_store,
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_STORE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
 
     def fn(key, pdfs, state):
         return _dedup_group(key, pdfs, state, max_ids_per_bucket)

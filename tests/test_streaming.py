@@ -226,3 +226,58 @@ def test_streaming_dedup_fanout_migration(spark, tmp_path):
         f"SELECT * FROM mig_phase2 WHERE host_bucket != pmod(url_id, {n_new})"
     ).count()
     assert bad == 0
+
+
+def test_streaming_dedup_store_backend(spark, tmp_path):
+    """Segment-store streaming variant: same exactly-once admissions as the
+    inline state, but the state rows hold segment METADATA only — payloads
+    live in the store, so the per-commit state write is O(MAX_SEGS) however
+    large the seen set (the inline cap is structurally moot here)."""
+    import json
+    import os
+
+    from gsccca_tax_records_scraper_spark.functions import urltools
+    from gsccca_tax_records_scraper_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "segs")
+
+    def write_batch(name, urls):
+        rows = [
+            {
+                "host_bucket": urltools.host_bucket_of(urltools.url_id(u)),
+                "url_id": urltools.url_id(u),
+                "url": u,
+            }
+            for u in urls
+        ]
+        (src / f"{name}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    u = [f"https://search.gsccca.org/Lien/liendetails.asp?id={i}" for i in range(60)]
+    write_batch("b0", u[:25] + u[:5])          # in-batch dups
+    write_batch("b1", u[10:40])                # cross-batch dups
+    write_batch("b2", u[35:60] + u[0:3])       # more cross-batch dups
+
+    stream = (
+        spark.readStream.schema("host_bucket int, url_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_dedup(stream, store_root=root)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admitted_store")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.url for r in spark.sql("SELECT url FROM admitted_store").collect()]
+    assert sorted(got) == sorted(u)
+    assert len(got) == len(set(got)) == 60
+    # segment files exist; multi-micro-batch buckets stacked/absorbed runs
+    assert any(f.endswith(".seg") for f in os.listdir(root))
