@@ -33,18 +33,21 @@ order (ordered-dict dedup realestate_index_scraper.py:474; drop_duplicates
                 one NEW segment row per bucket. Existing segments are
                 NEVER re-serialized by an append — that is the point.
 
-  Size-tiered segment compaction (LSM): segments stack newest-on-top with
-  seg ids 0,1,2,...; the new run absorbs the top of the stack while
-  (i) the accumulated run is at least TWICE the next segment down — a key
-  is only rewritten once >= 2x its run's size of newer data has arrived,
-  so each key is rewritten O(log |seen|) times over the crawl's life, and
-  equal-sized runs (the steady crawl regime) stack cleanly instead of
-  hovering at an absorb boundary — or (ii) more than MAX_SEGS segments
-  would remain (bounds the per-candidate probe fan-out; absorbing one run
-  usually cascades a tier merge via rule i). The emitted row's [lo, seg)
-  interval records which segments it replaced — `lo == seg` is a pure
-  append. Per-epoch serialized output is O(new keys) amortized (measured:
-  flat 44.4 MB/epoch deltas while the seen set grew 2M -> 8M urls).
+  Logarithmic segment merging (LSM, binary-counter rule): segments stack
+  newest-on-top with seg ids 0,1,2,...; the new run absorbs the top of the
+  stack while (i) the next segment down is no bigger than the run
+  accumulated so far — under steady equal-size epochs the live run sizes
+  mirror the binary digits of the epoch count (Bentley–Saxe logarithmic
+  method), so each key is rewritten once per doubling of the data above
+  it: O(log |seen|/batch) rewrites per key over the crawl's life, and the
+  live stack depth is bounded by the same log — or (ii) more than
+  MAX_SEGS segments would remain (probe-fan-out safety valve; see
+  tier_absorb for why the old twice-the-next-run rule degenerated to
+  ~N^0.9 write amplification). The emitted row's [lo, seg) interval
+  records which segments it replaced — `lo == seg` is a pure append.
+  Per-epoch serialized output is O(new keys) amortized (measured: flat
+  per-epoch deltas while the seen set grew 10x, write amplification
+  tracking the binary-counter bound).
 
 Per epoch that is ONE shuffle and ONE JVM<->Python crossing, no join and no
 aggregation. Crucially the per-epoch ARROW cost is O(batch) rows + the
@@ -161,9 +164,11 @@ _META_STATE_SCHEMA = (
 )
 _META_COLS = ["host_bucket", "seg", "lo", "n_items", "epoch", "file"]
 
-# probe fan-out bound: a candidate checks at most this many segment blooms;
-# the size-tiered rule keeps the count well under it in steady state
-MAX_SEGS = 8
+# probe fan-out bound: a candidate checks at most this many segment blooms.
+# The binary-counter merge rule keeps the live count at ~log2(|seen|/batch)
+# on its own (13 at 10^4 equal epochs); this cap only catches adversarial
+# batch-size sequences (it takes a 2^24 batch-size spread to hit it).
+MAX_SEGS = 24
 
 
 def order_cols() -> list:
@@ -331,20 +336,27 @@ def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.
 
 
 def tier_absorb(sizes: list[int], n_new: int) -> int:
-    """Size-tiered absorb decision for a new run of `n_new` keys landing on
-    a stack of live segments with `sizes` (seg-ascending): returns j such
-    that segments j+1.. are absorbed into the new run. The new run swallows
-    the newest segments while (i) the accumulated run is at least TWICE the
-    next one down (a key is only rewritten once >= 2x its run's size of
-    newer data arrived -> O(log |seen|) rewrites per key, and equal-sized
-    runs — the steady crawl regime — stack instead of hovering at an absorb
-    boundary), or (ii) more than MAX_SEGS segments would remain (bounds
-    probe fan-out; absorbing one run usually cascades a tier merge via rule
-    i). Depends only on sizes -> deterministic, resume-stable. Shared by
-    the batch cogroup and the streaming state operator."""
+    """Logarithmic-merge (binary-counter) absorb decision for a new run of
+    `n_new` keys landing on a stack of live segments with `sizes`
+    (seg-ascending): returns j such that segments j+1.. are absorbed into
+    the new run. The new run swallows the newest segments while (i) the
+    next one down is NO BIGGER than the run accumulated so far — with
+    steady equal-size epochs the live run sizes mirror the binary digits of
+    the epoch count (Bentley–Saxe), so each key is rewritten once per
+    doubling of the data above it, O(log |seen|/batch) times over the
+    crawl's life, with the live stack depth bounded by the same log — or
+    (ii) more than MAX_SEGS segments would remain (a probe-fan-out safety
+    valve for adversarial batch-size sequences; a 2^MAX_SEGS batch-size
+    spread is needed to reach it). The previous rule (absorb only when the
+    accumulated run reached TWICE the next segment) never merged the
+    equal-size runs of a steady crawl, so every merge was the count-cap
+    cascade folding the WHOLE stack — measured write amplification grew
+    ~N^0.9 (32x at 10^4 epochs vs 6x for this rule, 254x vs 8x at 10^5).
+    Depends only on sizes -> deterministic, resume-stable. Shared by the
+    batch cogroup and the streaming state operator."""
     cum = n_new
     j = len(sizes) - 1
-    while j >= 0 and (2 * sizes[j] <= cum or j + 2 > MAX_SEGS):
+    while j >= 0 and (sizes[j] <= cum or j + 2 > MAX_SEGS):
         cum += sizes[j]
         j -= 1
     return j
@@ -657,10 +669,14 @@ def revoke_seen(
 def merge_segments(seen_state: DataFrame, store_root: str | None = None) -> DataFrame:
     """Fold each bucket's live segment rows into ONE run (seg = the max live
     seg id, lo = 0, epoch = the bucket's newest row epoch — all
-    deterministic). This is the storage-GC moment: the engine runs it as
-    the seen_state compaction transform, which is the one deliberately
-    O(|seen|) rewrite; the fold rides along at no extra I/O and resets the
-    LSM stack so post-compaction epochs probe a single segment per bucket.
+    deterministic). For INLINE state the engine runs this as its seen_state
+    compaction transform: that compaction rewrites the payload-carrying
+    parquet rows anyway, so the fold rides along at no extra I/O. For the
+    SEGMENT-STORE backend the engine's compaction folds metadata only —
+    running this fold on a cadence there would add an O(|seen|) payload
+    rewrite per cadence (linear write amplification, which the
+    binary-counter tier rule exists to avoid) — so with a store this is an
+    EXPLICIT maintenance op (pre-export, read-amplification floor resets).
     Input rows must already be live (CrawlEngine._latest_state_rows).
     With `store_root` the fold reads/writes segment-store files and emits
     metadata rows; retired filenames become orphans for gc_segments."""

@@ -65,28 +65,45 @@ class BlockedBloom:
         return self.n_blocks * 512 // 16
 
     def _probes(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(word_idx[n,8], mask[n,8]) for a batch of uint64 ids."""
+        """(block[n] int64, h2[n] uint64): each key touches one 512-bit
+        block; probe bit j of word j is the j-th 6-bit field of h2. The
+        per-word indices/masks are derived COLUMN-WISE by the callers — the
+        old shape materialized (n,8) word_idx/mask broadcasts, and those
+        three 24M-element temporaries were the single hottest lines of a
+        run build (~10x the cost of everything else combined)."""
         ids = ids.astype(np.uint64, copy=False)
         h1 = _mix64(ids, 0x9E3779B97F4A7C15)
         h2 = _mix64(ids, 0xC2B2AE3D27D4EB4F)
         block = (h1 % _U64(self.n_blocks)).astype(np.int64)
-        w = np.arange(8, dtype=np.uint64)
-        bit = (h2[:, None] >> (w * _U64(6))[None, :]) & _U64(63)
-        word_idx = block[:, None] * 8 + np.arange(8, dtype=np.int64)[None, :]
-        mask = _U64(1) << bit
-        return word_idx, mask
+        return block, h2
 
     def contains(self, ids: np.ndarray) -> np.ndarray:
         if len(ids) == 0:
             return np.zeros(0, dtype=bool)
-        word_idx, mask = self._probes(np.asarray(ids))
-        return ((self.words[word_idx] & mask) == mask).all(axis=1)
+        block, h2 = self._probes(np.asarray(ids))
+        rows = self.words.reshape(-1, 8)[block]  # one cache line per key
+        out = np.ones(len(block), dtype=bool)
+        for j in range(8):
+            bit = (h2 >> _U64(6 * j)) & _U64(63)
+            out &= (rows[:, j] >> bit) & _U64(1) != 0
+        return out
 
     def insert(self, ids: np.ndarray) -> None:
+        """Bulk insert. OR-accumulation is order-independent: sort keys by
+        their (single) target block, fold each block's bit pattern per word
+        with `bitwise_or.reduceat` over column-wise 1D masks, then OR the
+        unique blocks in with one vectorized scatter."""
         if len(ids) == 0:
             return
-        word_idx, mask = self._probes(np.asarray(ids))
-        np.bitwise_or.at(self.words, word_idx.ravel(), mask.ravel())
+        block, h2 = self._probes(np.asarray(ids))
+        order = np.argsort(block, kind="stable")
+        sb, sh2 = block[order], h2[order]
+        starts = np.flatnonzero(np.concatenate(([True], sb[1:] != sb[:-1])))
+        folded = np.empty((len(starts), 8), dtype=np.uint64)
+        for j in range(8):
+            m = _U64(1) << ((sh2 >> _U64(6 * j)) & _U64(63))
+            folded[:, j] = np.bitwise_or.reduceat(m, starts)
+        self.words.reshape(-1, 8)[sb[starts]] |= folded
         self.n_items += len(ids)
 
     def to_bytes(self) -> bytes:
@@ -144,34 +161,107 @@ class CuckooFilter:
         return in1 | in2
 
     def insert(self, ids: np.ndarray) -> int:
-        """Bulk insert; returns number that failed (table full). Vectorized
-        first-fit over (2 buckets x 4 slots) passes; leftovers take the
-        classic kick loop."""
+        """Bulk insert; returns number that failed (table full). One
+        vectorized segmented first-fit round per candidate bucket (b1 then
+        b2); leftovers take the classic kick loop. The old shape — four
+        slot-passes each paying an `np.unique` sort — made run builds
+        cuckoo-bound; this is two stable sorts total."""
         if len(ids) == 0:
             return 0
         fp, b1, b2 = self._fp_buckets(ids)
         pending = np.arange(len(fp))
         for bucket in (b1, b2):
-            for slot in range(self.SLOTS):
-                if len(pending) == 0:
-                    break
-                bk = bucket[pending]
-                empty = self.table[bk, slot] == 0
-                cand = pending[empty]
-                if len(cand) == 0:
-                    continue
-                # one writer per bucket per pass: keep first occurrence
-                _, first = np.unique(bucket[cand], return_index=True)
-                writers = cand[np.sort(first)]
-                self.table[bucket[writers], slot] = fp[writers]
-                placed = np.zeros(len(fp), dtype=bool)
-                placed[writers] = True
-                pending = pending[~placed[pending]]
-        failed = 0
-        for i in pending:
-            if not self._insert_one(int(fp[i]), int(b1[i])):
-                failed += 1
+            if len(pending) == 0:
+                break
+            pending = self._place_round(fp, bucket, pending)
+        failed = self._kick_rounds(fp, b1, pending) if len(pending) else 0
         self.n_items += len(ids) - failed
+        return failed
+
+    def _place_round(
+        self, fp: np.ndarray, bucket: np.ndarray, pending: np.ndarray
+    ) -> np.ndarray:
+        """One first-fit round: group the pending keys by target bucket
+        (stable sort keeps pending order within a group), give each key a
+        within-group rank r, and send it to its bucket's (r+1)-th currently
+        free slot (free-slot count unrolled over the 4 slots in int8 — an
+        axis-1 cumsum materialized an (n,4) int64 temporary that cost more
+        than the sort). Keys ranked past the bucket's free-slot count stay
+        pending. Returns the still-pending indices; deterministic."""
+        bk = bucket[pending]
+        order = np.argsort(bk, kind="stable")
+        sp, sb = pending[order], bk[order]
+        newgrp = np.concatenate(([True], sb[1:] != sb[:-1]))
+        starts = np.flatnonzero(newgrp)
+        rank = np.arange(len(sp)) - starts[np.cumsum(newgrp) - 1]
+        consider = np.flatnonzero(rank < self.SLOTS)
+        free = self.table[sb[consider]] == 0
+        want = (rank[consider] + 1).astype(np.int8)
+        cum = np.zeros(len(consider), dtype=np.int8)
+        slot = np.full(len(consider), -1, dtype=np.int8)
+        for s in range(self.SLOTS):
+            cum += free[:, s]
+            hit = (slot < 0) & free[:, s] & (cum == want)
+            slot[hit] = s
+        ok = slot >= 0
+        placed_idx = consider[ok]
+        self.table[sb[placed_idx], slot[ok]] = fp[sp[placed_idx]]
+        keep = np.ones(len(sp), dtype=bool)
+        keep[placed_idx] = False
+        return sp[keep]
+
+    def _kick_rounds(self, fp: np.ndarray, b1: np.ndarray, pending: np.ndarray) -> int:
+        """Vectorized cuckoo kicking for the keys both first-fit rounds
+        could not place (the per-item Python loop dominated large-run
+        builds). Each active item carries a (fingerprint, bucket) walk
+        state; per round, one designated item per bucket (first in stable
+        order) either takes a free slot or swaps with a deterministic
+        victim slot and walks to the victim's alt bucket; contenders on the
+        same bucket wait unchanged. An item that exceeds MAX_KICKS swaps
+        fails (caller rebuilds the filter doubled). Deterministic: the
+        victim choice is the same per-fingerprint LCG the scalar loop used,
+        and round order is stable."""
+        cur_fp = fp[pending].astype(np.uint16).copy()
+        cur_b = b1[pending].astype(np.int64).copy()
+        rng = cur_fp.astype(np.uint64)
+        kicks = np.zeros(len(pending), dtype=np.int32)
+        failed = 0
+        active = np.arange(len(pending))
+        mask = _U64(self.n_buckets - 1)
+        while len(active):
+            ab = cur_b[active]
+            order = np.argsort(ab, kind="stable")
+            sa, sb_ = active[order], ab[order]
+            first = np.concatenate(([True], sb_[1:] != sb_[:-1]))
+            writers = sa[first]  # one item per bucket this round
+            rows = self.table[cur_b[writers]]
+            free = rows == 0
+            has_free = free.any(axis=1)
+            slot = free.argmax(axis=1)
+            # place the lucky ones
+            placed = writers[has_free]
+            self.table[cur_b[placed], slot[has_free]] = cur_fp[placed]
+            # kick for the rest: swap with the LCG-chosen victim slot
+            kickers = writers[~has_free]
+            if len(kickers):
+                r = (rng[kickers] * _U64(1103515245) + _U64(12345)) & _U64(0x7FFFFFFF)
+                rng[kickers] = r
+                vslot = (r % _U64(self.SLOTS)).astype(np.int64)
+                victim = self.table[cur_b[kickers], vslot].copy()
+                self.table[cur_b[kickers], vslot] = cur_fp[kickers]
+                cur_fp[kickers] = victim
+                alt = (
+                    _mix64(victim.astype(np.uint64), 0x9E3779B97F4A7C15) & mask
+                ).astype(np.int64)
+                cur_b[kickers] = cur_b[kickers] ^ alt
+                kicks[kickers] += 1
+            done = np.zeros(len(pending), dtype=bool)
+            done[placed] = True
+            over = kicks >= self.MAX_KICKS
+            failed += int(over[active].sum() - over[placed].sum())
+            done |= over
+            active = active[~done[active]]
+            # non-writers simply retry next round
         return failed
 
     def _insert_one(self, fp: int, b: int) -> bool:

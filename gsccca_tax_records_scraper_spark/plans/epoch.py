@@ -427,16 +427,26 @@ class CrawlEngine:
                     "host_bucket", urltools.host_bucket_col(F.col("url_id"), nb)
                 ),
             )
-            # seen_state compaction = live-row filter + per-bucket segment
-            # fold (dedup.merge_segments): compaction is the deliberate
-            # O(|seen|) rewrite, so folding the LSM stack to one run per
-            # bucket rides along at no extra I/O
+            # seen_state compaction: live-row filter always (delta-dir
+            # count back to O(1)). Folding the LSM stack to one run per
+            # bucket is backend-dependent: INLINE state carries payload
+            # bytes in the rows, so the compaction parquet rewrite is
+            # O(|seen|) regardless and merge_segments rides along free;
+            # with the SEGMENT STORE the metadata rewrite is O(live rows)
+            # and a payload fold would ADD an O(|seen|) rewrite every
+            # cadence — linear amplification the binary-counter merge rule
+            # exists to avoid — so store payloads are left to the tier rule
+            # (merge_segments stays available as an explicit maintenance op).
             st.compact_deltas(
                 self.spark,
                 "seen_state",
                 epoch,
-                transform=lambda df: dedup.merge_segments(
-                    self._latest_state_rows(df), store_root=self._seg_root
+                transform=(
+                    self._latest_state_rows
+                    if self._seg_root is not None
+                    else lambda df: dedup.merge_segments(
+                        self._latest_state_rows(df), store_root=None
+                    )
                 ),
             )
             compacted = True

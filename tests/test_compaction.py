@@ -19,10 +19,18 @@ def test_compaction_preserves_content_and_resume(spark, tmp_path):
     manifest = comp.store._manifest()
     assert manifest["compacted"] == {"seen_exact": 2, "seen_state": 2}
     assert (comp.store.workdir / "seen_exact" / "compacted=2" / "_SUCCESS").exists()
-    # the seen_state compaction folds superseded rows: latest-per-bucket only
+    # the seen_state compaction folds superseded rows: LIVE rows only (the
+    # store backend keeps the LSM stack — folding payloads to one run per
+    # cadence would be a linear-amplification O(|seen|) rewrite), so the
+    # compacted dir must equal its own live-filter fixpoint and stay within
+    # the tier rule's segment bound
     comp_state = spark.read.parquet(str(comp.store.workdir / "seen_state" / "compacted=2"))
+    per_seg = comp_state.groupBy("host_bucket", "seg").count().collect()
+    assert per_seg and all(r["count"] == 1 for r in per_seg)
+    from gsccca_tax_records_scraper_spark.operators import dedup
     per_bucket = comp_state.groupBy("host_bucket").count().collect()
-    assert per_bucket and all(r["count"] == 1 for r in per_bucket)
+    assert all(r["count"] <= dedup.MAX_SEGS for r in per_bucket)
+    assert comp._latest_state_rows(comp_state).count() == comp_state.count()
     del comp
     comp2 = CrawlEngine(spark, tmp_path / "comp", epoch_seconds=60.0, compact_every=2)
     comp2.run()  # resume across the compaction boundary

@@ -22,9 +22,9 @@ import bench
 from gsccca_tax_records_scraper_spark.operators import dedup
 from gsccca_tax_records_scraper_spark.plans.epoch import CrawlEngine
 
-# enough equal-sized epochs to overflow MAX_SEGS (=8) and force the
-# count-cap absorb cascade; equal sizes alone never absorb under the 2x
-# tier rule (that is the point — steady-crawl epochs append)
+# equal-sized epochs: under the binary-counter merge rule the live run
+# sizes mirror the binary digits of the epoch count, so this window shows
+# both pure appends (odd counts) and absorbs (carry epochs: 2, 4, 8, ...)
 N_EPOCHS = 10
 PER_EPOCH = 2_500
 
