@@ -352,11 +352,25 @@ def tier_absorb(sizes: list[int], n_new: int) -> int:
     equal-size runs of a steady crawl, so every merge was the count-cap
     cascade folding the WHOLE stack — measured write amplification grew
     ~N^0.9 (32x at 10^4 epochs vs 6x for this rule, 254x vs 8x at 10^5).
+
+    "No bigger" carries a 25% tolerance (sizes[j] <= 1.25 * accumulated):
+    real epochs hash-split a batch across buckets, so per-bucket run sizes
+    carry a few percent of jitter, and the EXACT comparison flips absorb
+    decisions bucket-by-bucket at every equal-size boundary — bucket
+    phases desynchronize and per-epoch write volume smears into a
+    growing mixture (measured 62->157 MB over 10 equal epochs). With the
+    tolerance every bucket makes the same decision, the whole table stays
+    phase-locked to the clean binary-carry pattern (per-epoch writes
+    1,2,1,4,1,2,1,8,... x batch), and same-phase epochs do bit-identical
+    work — what the growth benchmark's flatness comparison relies on. For
+    exact powers of two the decisions are unchanged (the tolerance only
+    matters within a jitter band), so the binary-digit invariant and the
+    O(log) rewrite bound hold as before (tests/test_lsm_segments.py).
     Depends only on sizes -> deterministic, resume-stable. Shared by the
     batch cogroup and the streaming state operator."""
     cum = n_new
     j = len(sizes) - 1
-    while j >= 0 and (sizes[j] <= cum or j + 2 > MAX_SEGS):
+    while j >= 0 and (sizes[j] <= cum + (cum >> 2) or j + 2 > MAX_SEGS):
         cum += sizes[j]
         j -= 1
     return j

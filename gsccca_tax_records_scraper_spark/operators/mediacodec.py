@@ -9,9 +9,11 @@ filtered scanlines — decoded here for real (chunk walk, inflate, all five
 filter reconstructions) — and the PDF writer embeds FlateDecode image
 XObjects, so the engine's media path is REAL end-to-end for the
 reference's artifact chain: sniff -> decode -> feature-extract -> resize
--> re-encode -> PDF. Entropy-coded formats (JPEG/MP4/...) still require a
-codec library and keep the honest NotImplementedError gate in
-`operators/multimodal.py`.
+-> re-encode -> PDF. Baseline JPEG (the dominant web image format) is
+implemented from T.81 in `operators/jpegcodec.py` — huffman entropy
+coding, block DCT, 4:4:4/grayscale; progressive/arithmetic/subsampled
+variants and video formats (MP4/...) keep the honest
+UnsupportedMediaError gate.
 
 Format layouts implemented from their public specs:
   PNG       RFC 2083: 8-byte signature; IHDR/PLTE/IDAT/IEND chunks; zlib
@@ -45,6 +47,8 @@ class UnsupportedMediaError(ValueError):
 def sniff(blob: bytes) -> str:
     if blob[:8] == _PNG_SIG:
         return "image/png"
+    if blob[:2] == b"\xff\xd8":
+        return "image/jpeg"
     if blob[:5] == b"%PDF-":
         return "application/pdf"
     if blob[:2] == b"P6":

@@ -15,8 +15,11 @@ Two decode tiers:
     reference's own artifact chain (PNG screenshots -> PDF,
     lien_index_scraper.py:687-708; `pdf_pages_table` unpacks those PDFs
     back into per-page image rows);
-  - entropy-coded formats (JPEG/MP4/...) need a codec library this
-    container lacks: `real_decode=True` without one raises
+  - REAL decode for baseline JPEG too (huffman + block DCT implemented
+    from ITU-T T.81 in `operators/jpegcodec` — 4:4:4/4:2:2/4:2:0,
+    grayscale; validated against a hand-assembled spec fixture);
+  - remaining entropy-coded formats (progressive JPEG, MP4/video) need a
+    codec library this container lacks: `real_decode=True` on one raises
     NotImplementedError, and the md5-derived deterministic stub keeps the
     contract-checked schema/batch plumbing exercised either way.
 """
@@ -114,6 +117,11 @@ def _real_features_one(blob: bytes) -> dict:
     try:
         if mime == "image/png":
             out.update(mediacodec.image_features(mediacodec.decode_png(blob)))
+            out["decoded"] = True
+        elif mime == "image/jpeg":
+            from . import jpegcodec
+
+            out.update(mediacodec.image_features(jpegcodec.decode_jpeg(blob)))
             out["decoded"] = True
         elif mime == "image/x-portable-pixmap":
             out.update(mediacodec.image_features(mediacodec.decode_ppm(blob)))
@@ -222,6 +230,10 @@ def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> Data
                         px = mediacodec.decode_png(blob)
                         if px.shape[2] in (2, 4):  # GA/RGBA: drop alpha
                             px = px[:, :, : px.shape[2] - 1]
+                    elif mime == "image/jpeg":
+                        from . import jpegcodec
+
+                        px = jpegcodec.decode_jpeg(blob)
                     elif mime == "image/x-portable-pixmap":
                         px = mediacodec.decode_ppm(blob)
                     elif mime == "image/bmp":
