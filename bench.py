@@ -384,16 +384,26 @@ def crawl_workloads(cores: int, seen_dir: str) -> dict:
         "t_fetch_sec": round(t_fetch, 3),
         "t_dedup_reps": [round(t, 2) for t in td],
         "t_fetch_reps": [round(t, 2) for t in tf],
-        "t_cal_sec": round(cpu_calibration(cores), 3),
+        # 3 calibration samples in the SAME window as the workload reps:
+        # the normalization denominator swung +-20% between single-sample
+        # runs (turbo/thermal wander), which made normalized efficiency
+        # look arbitrary — min-of-3 settles it and the in-record spread
+        # shows how much the window wandered
+        "t_cal_reps": (cal_reps := [round(cpu_calibration(cores), 3)
+                                    for _ in range(3)]),
+        "t_cal_sec": min(cal_reps),
         "t_bw_sec": round(bandwidth_calibration(cores), 3),
         "urls_dedup_per_sec": round(N_CAND / t_dedup, 1),
         "pages_per_sec": round(N_PAGES / t_fetch, 1),
     }
 
 
-N_GROWTH_SEQS = int(os.environ.get("BENCH_GROWTH_SEQS", "3"))
+N_GROWTH_SEQS = int(os.environ.get("BENCH_GROWTH_SEQS", "4"))
 #                    min-merge across sequences; 2 could not separate a real
-#                    trend from one blown epoch per sequence (r3 verdict #1)
+#                    trend from one blown epoch per sequence (r3 verdict #1),
+#                    and at 3 the per-epoch min still carries ~±0.5 s of
+#                    luck on ~3 s epochs — enough to swing the last-vs-
+#                    second ratio ±0.2 between identical-work epochs
 
 
 def _state_bytes(state, seg_root: str | None = None) -> int:
@@ -953,6 +963,7 @@ def main() -> None:
             "t_dedup_reps": [t for r in runs[c] for t in r["t_dedup_reps"]],
             "t_fetch_reps": [t for r in runs[c] for t in r["t_fetch_reps"]],
             "t_cal_sec": min(r["t_cal_sec"] for r in runs[c]),
+            "t_cal_reps": [t for r in runs[c] for t in r.get("t_cal_reps", [])],
             "t_bw_sec": min(r["t_bw_sec"] for r in runs[c]),
         }
         merged["urls_dedup_per_sec"] = round(N_CAND / merged["t_dedup_sec"], 1)

@@ -232,10 +232,11 @@ def pdf_from_images(images: list[np.ndarray]) -> bytes:
 
 
 def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
-    """Extract the image-per-page FlateDecode XObjects of a PDF shaped like
-    pdf_from_images' output (the reference's artifact shape). Not a general
-    PDF parser: DCTDecode (JPEG) streams and content-embedded text are out
-    of scope and raise."""
+    """Extract the image-per-page XObjects of a PDF shaped like
+    pdf_from_images' output (the reference's artifact shape): FlateDecode
+    (raw pixels) or DCTDecode (embedded baseline JPEG, the img2pdf shape —
+    decoded via operators/jpegcodec). Not a general PDF parser:
+    content-embedded text and other filters are out of scope and raise."""
     import re
 
     if blob[:5] != b"%PDF-":
@@ -245,13 +246,18 @@ def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
         rb"/Subtype\s*/Image\b(.*?)>>\s*stream\r?\n", blob, re.DOTALL
     ):
         head = m.group(1)
+        length = int(re.search(rb"/Length\s+(\d+)", head).group(1))
+        data = blob[m.end() : m.end() + length]
+        if b"/DCTDecode" in head:
+            from . import jpegcodec
+
+            images.append(jpegcodec.decode_jpeg(data))
+            continue
         if b"/FlateDecode" not in head:
             raise UnsupportedMediaError("PDF image filter not FlateDecode")
         w = int(re.search(rb"/Width\s+(\d+)", head).group(1))
         h = int(re.search(rb"/Height\s+(\d+)", head).group(1))
-        length = int(re.search(rb"/Length\s+(\d+)", head).group(1))
         ch = 1 if b"/DeviceGray" in head else 3
-        data = blob[m.end() : m.end() + length]
         img = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
         images.append(img.reshape(h, w, ch))
     return images

@@ -219,6 +219,24 @@ def test_encode_time_linear_in_pixels():
     assert _psnr(J.decode_jpeg(blob), img) > 20.0
 
 
+def test_pdf_dctdecode_image_stream():
+    """decode_pdf_images handles DCTDecode (embedded JPEG) XObjects — the
+    img2pdf shape the reference's artifact chain produces — alongside the
+    writer's own FlateDecode shape."""
+    flat = np.full((16, 24, 3), [10, 200, 90], dtype=np.uint8)
+    jpg = J.encode_jpeg(flat, quality=90)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Width 24 /Height 16"
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode"
+        b" /Length " + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    pages = M.decode_pdf_images(pdf)
+    assert len(pages) == 1
+    assert pages[0].shape == (16, 24, 3)
+    assert int(np.abs(pages[0].astype(int) - flat.astype(int)).max()) == 0
+
+
 def test_multimodal_feature_dispatch():
     from gsccca_tax_records_scraper_spark.operators.multimodal import (
         _real_features_one,
