@@ -436,7 +436,7 @@ class CrawlEngine:
             # and a payload fold would ADD an O(|seen|) rewrite every
             # cadence — linear amplification the binary-counter merge rule
             # exists to avoid — so store payloads are left to the tier rule
-            # (merge_segments stays available as an explicit maintenance op).
+            # (fold_segments() below is the explicit maintenance op).
             st.compact_deltas(
                 self.spark,
                 "seen_state",
@@ -755,6 +755,47 @@ class CrawlEngine:
         for h in handles:
             h.unpersist()
         return {"epoch": epoch, "new_urls": n_new}
+
+    def fold_segments(self) -> dict:
+        """Explicit LSM maintenance (major compaction): fold each bucket's
+        live segment stack to ONE run, resetting the probe/read-
+        amplification floor to a single segment per bucket — run it before
+        an export or a long read-heavy phase, like a manual VACUUM.
+        Deliberately NOT on the compaction cadence: a periodic payload
+        fold would re-add the linear write amplification the binary-
+        counter tier rule exists to avoid (operators/dedup.py
+        tier_absorb). Commits a normal epoch (resume-safe, lineage-
+        metered); retired payload files become orphans the next
+        compaction-cadence GC reclaims."""
+        prev = self.store.last_epoch()
+        assert prev is not None, "bootstrap first"
+        epoch = prev + 1
+        seen_state = self._read_seen_state(prev)
+        assert seen_state is not None
+        live = self._latest_state_rows(seen_state)
+        segs_before = int(live.count())
+        # restamp to the folding epoch so the delta write (filter
+        # epoch == current) captures every folded row; the fold row's
+        # lo=0 interval supersedes the bucket's whole prior stack on read
+        folded = dedup.merge_segments(live, store_root=self._seg_root).withColumn(
+            "epoch", F.lit(epoch).cast("int")
+        )
+        st = self.store
+        frontier = st.read_snapshot(self.spark, "frontier", prev)
+        host_state = st.read_snapshot(self.spark, "host_state", prev).select(
+            "host", "tokens", F.lit(epoch).cast("int").alias("epoch")
+        )
+        empty_rows = self.spark.createDataFrame([], frontier.schema)
+        self._write_epoch(
+            epoch, frontier, folded, host_state, empty_rows, None, None,
+            {"fold_segments_before": segs_before},
+            bucket_counts={},
+        )
+        segs_after = int(
+            self._latest_state_rows(self._read_seen_state(epoch)).count()
+        )
+        return {"epoch": epoch, "segments_before": segs_before,
+                "segments_after": segs_after}
 
     def run(self, seed_ids: list[int] | None = None, max_epochs: int = 1000) -> int:
         """Bootstrap (if needed) + drain; returns the number of drain epochs

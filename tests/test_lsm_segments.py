@@ -244,3 +244,24 @@ def test_tier_absorb_adversarial_batches_respect_cap():
     assert sum(sizes) == sum(batches)
     # determinism / resume-stability: same history -> same decision
     assert dedup.tier_absorb(sizes, 123) == dedup.tier_absorb(list(sizes), 123)
+
+
+def test_engine_fold_segments_maintenance(spark, tmp_path):
+    """CrawlEngine.fold_segments (explicit major compaction): resets every
+    bucket to ONE live run, preserves the seen set exactly, commits a
+    resume-safe epoch, and the engine keeps dedup'ing correctly after."""
+    eng = CrawlEngine(spark, tmp_path / "fold", epoch_seconds=60.0)
+    eng.run([1, 2])
+    seen_before = {r.url for r in eng.seen().collect()}
+    out = eng.fold_segments()
+    assert out["segments_after"] <= out["segments_before"]
+    live = eng._latest_state_rows(eng._read_seen_state(out["epoch"]))
+    per_bucket = live.groupBy("host_bucket").count().collect()
+    assert per_bucket and all(r["count"] == 1 for r in per_bucket)
+    assert {r.url for r in eng.seen().collect()} == seen_before
+    # a fresh engine resumes across the fold and reseeding re-admits
+    # nothing (the folded state still knows every url)
+    eng2 = CrawlEngine(spark, tmp_path / "fold", epoch_seconds=60.0)
+    res = eng2.reseed([1, 2])
+    assert res["new_urls"] == 0
+    assert {r.url for r in eng2.seen().collect()} == seen_before
