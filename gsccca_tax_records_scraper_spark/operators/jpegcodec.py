@@ -11,13 +11,15 @@ Scope — explicitly gated, not silently wrong:
           (default) or 4:2:0 (subsample=True), standard Annex K
           quantization tables scaled by the libjpeg quality formula,
           standard Annex K huffman tables, no restart markers.
-  decode: baseline 8-bit sequential interleaved, grayscale or YCbCr with
-          any sampling factors in {1, 2} — covers 4:4:4, 4:2:2 and 4:2:0,
-          i.e. what the web actually serves. Progressive (SOF2),
-          arithmetic coding (SOF9+), 12-bit, sampling factors > 2 and
-          non-interleaved multi-scan files raise UnsupportedMediaError —
-          the caller's decoded=False path, the same honest gate the other
-          codecs use.
+  decode: baseline 8-bit sequential interleaved AND progressive (SOF2,
+          full spectral selection + successive approximation with shared
+          EOB runs — _prog_scan), grayscale or YCbCr with any sampling
+          factors in {1, 2} — covers 4:4:4, 4:2:2 and 4:2:0, i.e. what
+          the web actually serves. Arithmetic coding (SOF9+), lossless/
+          hierarchical frames, 12-bit, sampling factors > 2 and
+          non-interleaved BASELINE multi-scan files raise
+          UnsupportedMediaError — the caller's decoded=False path, the
+          same honest gate the other codecs use.
 
 The DCT/IDCT and color transforms are vectorized over every 8x8 block at
 once (one einsum per image); only the entropy coding walks coefficients in
@@ -433,6 +435,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
+    coef = None  # progressive: per-component coefficient accumulators
     restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -464,7 +467,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(tclass, tid)] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise UnsupportedMediaError(f"JPEG: {prec}-bit precision")
@@ -477,10 +480,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         f"JPEG: sampling factor {hi}x{vi} unsupported"
                     )
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC)):
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC)):
             raise UnsupportedMediaError(
-                f"JPEG: non-baseline frame (marker 0xFF{marker:02X})"
+                f"JPEG: unsupported frame type (marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -488,19 +492,85 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise UnsupportedMediaError("JPEG: SOS before SOF")
             ns = payload[0]
-            if ns != len(frame["comps"]):
-                raise UnsupportedMediaError(
-                    "JPEG: non-interleaved scan (one scan per component)"
-                )
-            tables = []
+            sel = []
             for c in range(ns):
                 cs, tt = payload[1 + 2 * c : 3 + 2 * c]
-                tables.append((tt >> 4, tt & 0xF))
-            return _decode_scan(
-                blob, pos, frame, tables, qtabs, huff, restart_interval
+                idx = next(
+                    (i for i, cm in enumerate(frame["comps"]) if cm["id"] == cs),
+                    None,
+                )
+                if idx is None:
+                    raise UnsupportedMediaError("JPEG: scan names unknown component")
+                sel.append((idx, tt >> 4, tt & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            if not frame.get("progressive"):
+                if ns != len(frame["comps"]):
+                    raise UnsupportedMediaError(
+                        "JPEG: non-interleaved scan (one scan per component)"
+                    )
+                return _decode_scan(
+                    blob, pos, frame, [(d, a) for _, d, a in sel], qtabs, huff,
+                    restart_interval,
+                )
+            # progressive: accumulate this scan's coefficient contributions
+            if coef is None:
+                coef = _alloc_coef(frame)
+            data, pos = _destuff(blob, pos)
+            _prog_scan(
+                data, frame, coef, sel, ss, se, ahal >> 4, ahal & 0xF, huff,
+                restart_interval,
             )
         # APPn/COM and anything else: skipped
+    if frame is not None and frame.get("progressive") and coef is not None:
+        return _reconstruct(frame, coef, qtabs)
     raise UnsupportedMediaError("JPEG: no scan data")
+
+
+def _destuff(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Entropy bytes from `pos` to the next real marker, 0xFF00 unstuffed
+    and restart markers dropped (readers resync at computed boundaries).
+    Returns (data, position of the next marker's 0xFF)."""
+    data = bytearray()
+    p = pos
+    while p < len(blob) - 1:
+        b = blob[p]
+        if b == 0xFF:
+            nxt = blob[p + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            break
+        data.append(b)
+        p += 1
+    return bytes(data), p
+
+
+def _geometry(frame: dict) -> tuple[int, int, int, int, list[int], list[int]]:
+    """Interleaved MCU layout (T.81 A.2.3): an MCU covers an
+    (8*hmax) x (8*vmax) pixel tile and carries hi*vi blocks per component
+    in raster order — hmax=vmax=1 degenerates to one block per component.
+    Returns (hmax, vmax, mcux, mcuy, wb, hb) with wb/hb the per-component
+    MCU-padded block-grid dims."""
+    comps = frame["comps"]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    wb = [mcux * c["hi"] for c in comps]
+    hb = [mcuy * c["vi"] for c in comps]
+    return hmax, vmax, mcux, mcuy, wb, hb
+
+
+def _alloc_coef(frame: dict) -> list[np.ndarray]:
+    _, _, _, _, wb, hb = _geometry(frame)
+    return [
+        np.zeros((hb[c] * wb[c], 64), dtype=np.int64)
+        for c in range(len(frame["comps"]))
+    ]
 
 
 def _decode_scan(
@@ -512,38 +582,12 @@ def _decode_scan(
     huff: dict[tuple[int, int], _HuffDecoder],
     restart_interval: int,
 ) -> np.ndarray:
-    # de-stuff the entropy bytes up to the next real marker
-    data = bytearray()
-    p = pos
-    while p < len(blob) - 1:
-        b = blob[p]
-        if b == 0xFF:
-            nxt = blob[p + 1]
-            if nxt == 0x00:
-                data.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # restart marker: drop, reader resyncs
-                p += 2
-                continue
-            break
-        data.append(b)
-        p += 1
-    h, w = frame["h"], frame["w"]
+    data, _ = _destuff(blob, pos)
     comps = frame["comps"]
     nc = len(comps)
-    # interleaved MCU layout (T.81 A.2.3): an MCU covers an
-    # (8*hmax) x (8*vmax) pixel tile and carries hi*vi blocks per
-    # component in raster order — hmax=vmax=1 degenerates to the
-    # one-block-per-component 4:4:4/grayscale case
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    wb = [mcux * c["hi"] for c in comps]  # block-grid width per component
-    hb = [mcuy * c["vi"] for c in comps]
-    coef = [np.zeros((hb[c] * wb[c], 64), dtype=np.int64) for c in range(nc)]
-    br = _BitReader(bytes(data))
+    hmax, vmax, mcux, mcuy, wb, hb = _geometry(frame)
+    coef = _alloc_coef(frame)
+    br = _BitReader(data)
     preds = [0] * nc
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -576,6 +620,19 @@ def _decode_scan(
                             raise UnsupportedMediaError("JPEG: AC index overflow")
                         coef[c][b, k] = _extend(br.receive(size), size)
                         k += 1
+    return _reconstruct(frame, coef, qtabs)
+
+
+def _reconstruct(
+    frame: dict, coef: list[np.ndarray], qtabs: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + IDCT + upsample + crop the accumulated coefficient
+    grids — shared by the sequential single-scan path and the progressive
+    end-of-image path."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    nc = len(comps)
+    hmax, vmax, _, _, wb, hb = _geometry(frame)
     planes = []
     for c in range(nc):
         q = qtabs.get(comps[c]["tq"])
@@ -595,3 +652,159 @@ def _decode_scan(
     if nc == 3:
         return _ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise UnsupportedMediaError(f"JPEG: {nc}-component scan")
+
+# ---------------------------------------------------- progressive scans
+def _prog_scan(
+    data: bytes,
+    frame: dict,
+    coef: list[np.ndarray],
+    sel: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict[tuple[int, int], _HuffDecoder],
+    restart_interval: int,
+) -> None:
+    """One progressive scan (T.81 G.2): spectral band [ss, se] of the
+    selected components at successive-approximation stage (ah -> al).
+    DC scans (ss == 0) may interleave all components in MCU order; AC
+    scans are single-component in the component's own block-raster order.
+    Control flow mirrors T.81 G.1.2 (the same structure libjpeg's
+    jdphuff.c implements): first scans (ah == 0) Huffman-code magnitudes
+    point-transformed by al; refinement scans (ah > 0) append one
+    magnitude bit per already-nonzero coefficient and place newly-nonzero
+    coefficients at +-(1 << al), with shared end-of-band (EOB) runs."""
+    br = _BitReader(data)
+    comps = frame["comps"]
+    _, _, mcux, mcuy, wb, hb = _geometry(frame)
+    if ss == 0:  # ---------------------------------------------- DC scan
+        if se != 0:
+            raise UnsupportedMediaError("JPEG: DC scan with se != 0")
+        preds = [0] * len(sel)
+
+        def dc_block(blk: np.ndarray, i: int, dc_dec) -> None:
+            if ah == 0:
+                size = dc_dec.decode(br)
+                preds[i] += _extend(br.receive(size), size)
+                blk[0] = preds[i] << al
+            elif br.read_bit():
+                blk[0] |= 1 << al  # two's-complement OR refines negatives too
+
+        if len(sel) > 1:  # interleaved MCU traversal
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    preds = [0] * len(sel)
+                    br.nbits = 0
+                my, mx = divmod(m, mcux)
+                for i, (ci, dc_t, _) in enumerate(sel):
+                    dc_dec = huff.get((0, dc_t))
+                    if ah == 0 and dc_dec is None:
+                        raise UnsupportedMediaError("JPEG: missing huffman table")
+                    hi, vi = comps[ci]["hi"], comps[ci]["vi"]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            b = (my * vi + by) * wb[ci] + mx * hi + bx
+                            dc_block(coef[ci][b], i, dc_dec)
+        else:
+            ci, dc_t, _ = sel[0]
+            dc_dec = huff.get((0, dc_t))
+            if ah == 0 and dc_dec is None:
+                raise UnsupportedMediaError("JPEG: missing huffman table")
+            for n, b in enumerate(_scan_blocks(frame, ci)):
+                if restart_interval and n and n % restart_interval == 0:
+                    preds = [0] * len(sel)
+                    br.nbits = 0
+                dc_block(coef[ci][b], 0, dc_dec)
+        return
+    # -------------------------------------------------------- AC scan
+    if len(sel) != 1:
+        raise UnsupportedMediaError("JPEG: interleaved AC scan")
+    ci, _, ac_t = sel[0]
+    ac_dec = huff.get((1, ac_t))
+    if ac_dec is None:
+        raise UnsupportedMediaError("JPEG: missing huffman table")
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for n, b in enumerate(_scan_blocks(frame, ci)):
+        if restart_interval and n and n % restart_interval == 0:
+            eobrun = 0
+            br.nbits = 0
+        blk = coef[ci][b]
+        if ah == 0:  # ------------------------- first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac_dec.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise UnsupportedMediaError("JPEG: AC index overflow")
+                blk[k] = _extend(br.receive(s), s) << al
+                k += 1
+            continue
+        # --------------------------- refinement scan (T.81 G.1.2.3)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_dec.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise UnsupportedMediaError("JPEG: bad refinement size")
+                    newval = p1 if br.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # advance r zero-history positions, emitting correction
+                # bits for every nonzero coefficient passed on the way
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # block inside an EOB run: remaining nonzero coefficients of
+            # the band still receive correction bits
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
+def _scan_blocks(frame: dict, ci: int):
+    """Block indices (into the MCU-padded coefficient grid) of component
+    `ci` in NON-INTERLEAVED scan order: the component's own block raster,
+    whose dims come from the component's true size (T.81 A.2.2) — the
+    MCU-padded grid can be wider for subsampled layouts."""
+    comps = frame["comps"]
+    hmax, vmax, _, _, wb, hb = _geometry(frame)
+    cw = (frame["w"] * comps[ci]["hi"] + hmax - 1) // hmax
+    chh = (frame["h"] * comps[ci]["vi"] + vmax - 1) // vmax
+    ws = (cw + 7) // 8
+    hs = (chh + 7) // 8
+    for row in range(hs):
+        for col in range(ws):
+            yield row * wb[ci] + col
