@@ -219,6 +219,37 @@ def test_encode_time_linear_in_pixels():
     assert _psnr(J.decode_jpeg(blob), img) > 20.0
 
 
+def test_restart_marker_resync_hand_fixture():
+    """DRI=1 + an RST0 between two MCUs: the decoder must byte-align and
+    reset the DC predictor at the boundary (T.81 F.2.1.3.1). Bits
+    hand-derived: block A DC=+5 (diff 5: '100'+'101', EOB '1010'), pad;
+    RST0; block B DC=-3 coded as a FRESH diff (-3: '011'+'00', EOB),
+    so a decoder that fails to reset the predictor produces 2 instead."""
+    qtab_zz = bytes(J._Q_LUM[J._ZIGZAG].astype(np.uint8))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qtab_zz)
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(J._DC_LUM_BITS) + bytes(J._DC_LUM_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(J._AC_LUM_BITS) + bytes(J._AC_LUM_VALS))
+        + seg(0xDD, (1).to_bytes(2, "big"))  # DRI: restart every MCU
+        + seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        + bytes([0b10010110, 0b10111111])  # '100 101 1010' + 1-pad
+        + b"\xff\xd0"  # RST0
+        + bytes([0b01100101, 0b01111111])  # '011 00 1010' + 1-pad
+        + b"\xff\xd9"
+    )
+    out = J.decode_jpeg(blob)
+    assert out.shape == (8, 16, 1)
+    assert np.all(out[:, :8, 0] == 138)  # DC 5 * Q0 16 / 8 + 128
+    assert np.all(out[:, 8:, 0] == 122)  # DC -3 -> 122 (not 132: pred reset)
+
+
 def test_pdf_dctdecode_image_stream():
     """decode_pdf_images handles DCTDecode (embedded JPEG) XObjects — the
     img2pdf shape the reference's artifact chain produces — alongside the

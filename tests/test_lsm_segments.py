@@ -234,6 +234,32 @@ def test_tier_absorb_binary_counter_bounds():
     assert sizes == [64, 16, 8, 2]
 
 
+def test_tier_absorb_properties_random_batches():
+    """Property test over arbitrary batch-size sequences: keys conserved,
+    live depth within max(binary bound, MAX_SEGS), rewrites amortized
+    O(log), and the decision is a pure function of sizes (resume-stable)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=10**7), min_size=1,
+                    max_size=60))
+    def check(batches):
+        sizes, written = _simulate_tiering(batches)
+        total = sum(batches)
+        assert sum(sizes) == total
+        assert len(sizes) <= dedup.MAX_SEGS
+        # amortized O(log): every key rewritten at most once per >=1.8x
+        # growth of the data above it, plus the MAX_SEGS cascade slack
+        bound = int(np.log2(max(total, 2))) + dedup.MAX_SEGS
+        assert written <= total * bound
+        assert dedup.tier_absorb(list(sizes), 17) == dedup.tier_absorb(
+            list(sizes), 17
+        )
+
+    check()
+
+
 def test_tier_absorb_adversarial_batches_respect_cap():
     """Geometric DECREASING batches are the worst case for stack depth
     (each run is too small to absorb the bigger one below); the MAX_SEGS
