@@ -150,9 +150,18 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
+_LUT_BITS = 9  # covers every code the Annex K tables assign below len 10
+
+
 class _HuffDecoder:
-    """Canonical huffman decode state (T.81 F.2.2.3): per code length,
-    the smallest/largest code and the index of its first symbol."""
+    """Canonical huffman decode state (T.81 F.2.2.3) with a 9-bit prefix
+    LUT fast path: one peek resolves any code of length <= 9 (the common
+    case by construction — short codes are the frequent symbols); longer
+    codes fall back to the per-length min/max walk. Measured: the win over
+    the per-bit walk is modest (~160k symbols/s either way — per-symbol
+    Python call overhead dominates, spread across peek/skip/receive), but
+    the multi-bit reader it rides on also gives the progressive path its
+    restart realignment (align()) and honest past-end semantics."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.vals = vals
@@ -171,42 +180,78 @@ class _HuffDecoder:
             else:
                 self.maxcode[length] = -1
             code <<= 1
+        self.lut: list[tuple[int, int] | None] = [None] * (1 << _LUT_BITS)
+        for sym, (c, length) in _build_codes(bits, vals).items():
+            if length <= _LUT_BITS:
+                base = c << (_LUT_BITS - length)
+                for i in range(1 << (_LUT_BITS - length)):
+                    self.lut[base + i] = (length, sym)
 
     def decode(self, br: "_BitReader") -> int:
-        code = br.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise UnsupportedMediaError("JPEG: corrupt huffman stream")
-            code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[length] + code - self.mincode[length]]
+        ent = self.lut[br.peek(_LUT_BITS)]
+        if ent is not None:
+            br.skip(ent[0])
+            return ent[1]
+        for length in range(_LUT_BITS + 1, 17):
+            if self.maxcode[length] >= 0:
+                code = br.peek(length)
+                if code <= self.maxcode[length]:
+                    br.skip(length)
+                    return self.vals[
+                        self.valptr[length] + code - self.mincode[length]
+                    ]
+        raise UnsupportedMediaError("JPEG: corrupt huffman stream")
 
 
 class _BitReader:
-    """MSB-first reader over the entropy-coded bytes (stuffing removed)."""
+    """MSB-first reader over the entropy-coded bytes (stuffing removed).
+    Peeks past the end return 1-padding (T.81 pad bits), but CONSUMING
+    past the real bit count raises — a valid stream never does."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.consumed = 0
+        self.limit = 8 * len(data)
+
+    def _fill(self, n: int) -> None:
+        while self.nbits < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def peek(self, n: int) -> int:
+        self._fill(n)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self._fill(n)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        self.consumed += n
+        if self.consumed > self.limit:
+            raise UnsupportedMediaError("JPEG: entropy stream truncated")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise UnsupportedMediaError("JPEG: entropy stream truncated")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        v = self.peek(1)
+        self.skip(1)
+        return v
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self.peek(n)
+        self.skip(n)
         return v
+
+    def align(self) -> None:
+        """Discard pad bits to the next byte boundary (restart resync)."""
+        rem = self.consumed % 8
+        if rem:
+            self.skip(8 - rem)
 
 
 def _extend(v: int, size: int) -> int:
@@ -592,7 +637,7 @@ def _decode_scan(
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             preds = [0] * nc
-            br.nbits = 0  # byte-align at restart boundaries
+            br.align()  # byte-align at restart boundaries
         my, mx = divmod(m, mcux)
         for c in range(nc):
             dc_dec = huff.get((0, tables[c][0]))
@@ -695,7 +740,7 @@ def _prog_scan(
             for m in range(mcux * mcuy):
                 if restart_interval and m and m % restart_interval == 0:
                     preds = [0] * len(sel)
-                    br.nbits = 0
+                    br.align()
                 my, mx = divmod(m, mcux)
                 for i, (ci, dc_t, _) in enumerate(sel):
                     dc_dec = huff.get((0, dc_t))
@@ -714,7 +759,7 @@ def _prog_scan(
             for n, b in enumerate(_scan_blocks(frame, ci)):
                 if restart_interval and n and n % restart_interval == 0:
                     preds = [0] * len(sel)
-                    br.nbits = 0
+                    br.align()
                 dc_block(coef[ci][b], 0, dc_dec)
         return
     # -------------------------------------------------------- AC scan
@@ -729,7 +774,7 @@ def _prog_scan(
     for n, b in enumerate(_scan_blocks(frame, ci)):
         if restart_interval and n and n % restart_interval == 0:
             eobrun = 0
-            br.nbits = 0
+            br.align()
         blk = coef[ci][b]
         if ah == 0:  # ------------------------- first scan for this band
             if eobrun:
