@@ -69,9 +69,13 @@ immutable segments keep trivially coherent (spark.python.worker.reuse makes
 it survive across epochs), and a new run is written to the store by the
 worker that built it — so per-epoch Arrow/shuffle traffic is O(batch rows +
 touched-bucket metadata) in, O(admitted rows + one metadata row per changed
-bucket) out, regardless of the seen set's size. Payload I/O happens only on
-a worker's first probe of a segment (page-cache/DFS read) and on new-run
-writes (O(new keys), LSM-amortized). The inline variant (store_root=None)
+bucket) out, regardless of the seen set's size. Payload I/O is lazy at PART
+granularity: a probe loads only a segment's FILTERS (bloom + cuckoo, ~0.6
+B/key — ~3% of a run's bytes) on first touch; the packed key arrays (16
+B/key) load only when a bloom positive needs exact resolve or a tier merge
+absorbs the run — so a fresh-heavy epoch's read cost tracks the batch's
+hit count, not the history's size. New-run writes are O(new keys),
+LSM-amortized. The inline variant (store_root=None)
 keeps payloads in the rows — self-contained parquet, no side files — for
 store-less callers and as the differential-testing oracle for the store.
 
@@ -287,26 +291,41 @@ def _live_segments(right: pd.DataFrame, store_root: str | None = None) -> list[d
             continue  # superseded: same seg at an older epoch, or inside
             #           a newer row's (transitive) [lo, seg) coverage
         if store_root is None:
+            ids = np.frombuffer(bytes(right["ids"].iloc[i]), dtype=np.int64)
             segs.append(
                 {
                     "seg": seg,
                     "lo": lo,
                     "bloom_b": bytes(right["bloom"].iloc[i]),
                     "cuckoo_b": bytes(right["cuckoo"].iloc[i]),
-                    "ids": np.frombuffer(bytes(right["ids"].iloc[i]), dtype=np.int64),
+                    "ids": ids,
                     "hs": np.frombuffer(bytes(right["hs"].iloc[i]), dtype=np.int64),
+                    "n": len(ids),
                 }
             )
         else:
-            bloom_b, cuckoo_b, ids, hs = segstore.read_segment(
-                store_root, right["file"].iloc[i]
-            )
+            # LAZY keys: only the probe prefilters (bloom + cuckoo, ~3% of
+            # a run's bytes) load here; the packed key arrays load through
+            # seg_keys() the first time something actually needs them —
+            # exact resolve of a bloom positive, a tier merge, revocation.
+            # A fresh-heavy epoch therefore reads O(filters), not O(|seen|).
+            fname = right["file"].iloc[i]
+            bloom_b, cuckoo_b, _ = segstore.read_segment_filters(store_root, fname)
             segs.append(
                 {"seg": seg, "lo": lo, "bloom_b": bloom_b, "cuckoo_b": cuckoo_b,
-                 "ids": ids, "hs": hs}
+                 "n": int(right["n_items"].iloc[i]),
+                 "_keys_from": (store_root, fname)}
             )
     segs.reverse()  # seg-ascending (oldest first)
     return segs
+
+
+def seg_keys(s: dict) -> tuple[np.ndarray, np.ndarray]:
+    """A segment's packed sorted key arrays, loading (and memoizing) them
+    from the store on first need — see _live_segments' lazy store branch."""
+    if "ids" not in s:
+        s["ids"], s["hs"] = segstore.read_segment_keys(*s["_keys_from"])
+    return s["ids"], s["hs"]
 
 
 def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.ndarray:
@@ -318,8 +337,8 @@ def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.
     if not len(q_ids):
         return seen
     undecided = np.ones(len(q_ids), dtype=bool)
-    for s in sorted(segs, key=lambda s: -len(s["ids"])):
-        if not len(s["ids"]):
+    for s in sorted(segs, key=lambda s: -s["n"]):
+        if not s["n"]:
             continue
         idx = np.flatnonzero(undecided)
         if not len(idx):
@@ -328,7 +347,8 @@ def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.
         maybe = bloom.contains(q_ids[idx].view(np.uint64))
         mi = idx[maybe]
         if len(mi):
-            found = probe_sorted_keys(s["ids"], s["hs"], q_ids[mi], q_hs[mi])
+            seen_ids, seen_hs = seg_keys(s)
+            found = probe_sorted_keys(seen_ids, seen_hs, q_ids[mi], q_hs[mi])
             fi = mi[found]
             seen[fi] = True
             undecided[fi] = False
@@ -500,15 +520,16 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
         new_ids, new_hs = new_ids[o], new_hs[o]
 
         # (d) size-tiered absorb (tier_absorb docstring has the rules)
-        j = tier_absorb([len(s["ids"]) for s in segs], len(new_ids))
+        j = tier_absorb([s["n"] for s in segs], len(new_ids))
         if j == len(segs) - 1:  # pure append (also the empty-bucket case)
             run_ids, run_hs = new_ids, new_hs
             seg_id = segs[-1]["seg"] + 1 if segs else 0
             lo = seg_id  # covers nothing
         else:
             absorbed = segs[j + 1:]
-            run_ids = np.concatenate([s["ids"] for s in absorbed] + [new_ids])
-            run_hs = np.concatenate([s["hs"] for s in absorbed] + [new_hs])
+            absorbed_keys = [seg_keys(s) for s in absorbed]
+            run_ids = np.concatenate([k[0] for k in absorbed_keys] + [new_ids])
+            run_hs = np.concatenate([k[1] for k in absorbed_keys] + [new_hs])
             oo = np.lexsort((run_hs, run_ids))
             run_ids, run_hs = run_ids[oo], run_hs[oo]
             seg_id = segs[-1]["seg"] + 1
@@ -607,7 +628,7 @@ def revoke_seen(
         q_ids, q_hs = q_ids[o], q_hs[o]
         outs = []
         for s in segs:
-            seen_ids, seen_hs = s["ids"], s["hs"]
+            seen_ids, seen_hs = seg_keys(s)
             if not len(seen_ids):
                 continue
             lo_i = np.searchsorted(seen_ids, q_ids, side="left")
@@ -699,8 +720,9 @@ def merge_segments(seen_state: DataFrame, store_root: str | None = None) -> Data
         segs = _live_segments(pdf, store_root)
         bucket = int(pdf["host_bucket"].iloc[0])
         if segs:
-            ids = np.concatenate([s["ids"] for s in segs])
-            hs = np.concatenate([s["hs"] for s in segs])
+            all_keys = [seg_keys(s) for s in segs]
+            ids = np.concatenate([k[0] for k in all_keys])
+            hs = np.concatenate([k[1] for k in all_keys])
             o = np.lexsort((hs, ids))
             ids, hs = ids[o], hs[o]
             seg_id = segs[-1]["seg"]

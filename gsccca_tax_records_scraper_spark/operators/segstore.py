@@ -195,53 +195,98 @@ def write_segment(
     _write_bytes_once(root, filename, payload)
     # pre-populate the read cache: the worker that built a run is a likely
     # prober of it next epoch (write-through keeps the first probe local)
-    global _CACHE_BYTES
-    key = (root, filename)
-    with _CACHE_LOCK:
-        if key not in _CACHE:
-            _CACHE[key] = (len(payload), (bloom_b, cuckoo_b, ids, hs))
-            _CACHE_BYTES += len(payload)
-            budget = _cache_budget()
-            while _CACHE_BYTES > budget and len(_CACHE) > 1:
-                _k, (sz, _v) = _CACHE.popitem(last=False)
-                _CACHE_BYTES -= sz
+    _cache_put(
+        (root, filename, "filters"),
+        len(bloom_b) + len(cuckoo_b),
+        (bloom_b, cuckoo_b, (len(bloom_b), len(cuckoo_b), len(ids_b), len(hs_b))),
+        count_miss=False,
+    )
+    _cache_put(
+        (root, filename, "keys"), len(ids_b) + len(hs_b), (ids, hs),
+        count_miss=False,
+    )
     return filename
 
 
-def read_segment(root: str, filename: str) -> tuple[bytes, bytes, np.ndarray, np.ndarray]:
-    """(bloom_bytes, cuckoo_bytes, ids, hs) for a stored run, through the
-    process-level LRU. Arrays are read-only views over the cached buffer."""
-    global _CACHE_BYTES, _CACHE_HITS, _CACHE_MISSES
-    key = (root, filename)
+def _cache_get(key):
+    global _CACHE_HITS
     with _CACHE_LOCK:
         entry = _CACHE.get(key)
         if entry is not None:
             _CACHE.move_to_end(key)
             _CACHE_HITS += 1
             return entry[1]
-    data = _read_bytes(root, filename)
-    magic, n_bloom, n_cuckoo, n_ids, n_hs = _HEADER.unpack_from(data, 0)
-    if magic != _MAGIC:
-        raise ValueError(f"segment {filename}: bad magic {magic!r}")
-    off = _HEADER.size
-    bloom_b = data[off : off + n_bloom]
-    off += n_bloom
-    cuckoo_b = data[off : off + n_cuckoo]
-    off += n_cuckoo
-    ids = np.frombuffer(data, dtype=np.int64, count=n_ids // 8, offset=off)
-    off += n_ids
-    hs = np.frombuffer(data, dtype=np.int64, count=n_hs // 8, offset=off)
-    value = (bloom_b, cuckoo_b, ids, hs)
+    return None
+
+
+def _cache_put(key, nbytes: int, value, count_miss: bool = True) -> None:
+    global _CACHE_BYTES, _CACHE_MISSES
     with _CACHE_LOCK:
-        _CACHE_MISSES += 1
+        if count_miss:
+            _CACHE_MISSES += 1
         if key not in _CACHE:
-            _CACHE[key] = (len(data), value)
-            _CACHE_BYTES += len(data)
+            _CACHE[key] = (nbytes, value)
+            _CACHE_BYTES += nbytes
             budget = _cache_budget()
             while _CACHE_BYTES > budget and len(_CACHE) > 1:
                 _k, (sz, _v) = _CACHE.popitem(last=False)
                 _CACHE_BYTES -= sz
+
+
+def _open_reader(root: str, filename: str):
+    if _is_uri(root):
+        fs, base = _pafs(root)
+        return fs.open_input_file(f"{base}/{filename}")
+    return open(os.path.join(root, filename), "rb")
+
+
+def read_segment_filters(root: str, filename: str):
+    """(bloom_bytes, cuckoo_bytes, (n_bloom, n_cuckoo, n_ids, n_hs)) — the
+    probe prefilters plus the payload layout, WITHOUT the key arrays. The
+    dedup probe loads filters for every live segment but key arrays only
+    for segments with bloom-positive candidates, so a fresh-heavy epoch
+    reads O(filters) bytes, not O(|seen|) (the filters are ~3% of a run's
+    bytes at 16 B/key vs ~0.6 B/key of bloom+cuckoo)."""
+    key = (root, filename, "filters")
+    v = _cache_get(key)
+    if v is not None:
+        return v
+    with _open_reader(root, filename) as f:
+        hdr = f.read(_HEADER.size)
+        magic, n_bloom, n_cuckoo, n_ids, n_hs = _HEADER.unpack(hdr)
+        if magic != _MAGIC:
+            raise ValueError(f"segment {filename}: bad magic {magic!r}")
+        fb = f.read(n_bloom + n_cuckoo)
+    value = (fb[:n_bloom], fb[n_bloom:], (n_bloom, n_cuckoo, n_ids, n_hs))
+    _cache_put(key, len(fb), value)
     return value
+
+
+def read_segment_keys(root: str, filename: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, hs) packed sorted key arrays — loaded on demand (exact
+    resolve of bloom positives, run merges, revocation, splits)."""
+    key = (root, filename, "keys")
+    v = _cache_get(key)
+    if v is not None:
+        return v
+    _, _, (n_bloom, n_cuckoo, n_ids, n_hs) = read_segment_filters(root, filename)
+    off = _HEADER.size + n_bloom + n_cuckoo
+    with _open_reader(root, filename) as f:
+        f.seek(off)
+        data = f.read(n_ids + n_hs)
+    ids = np.frombuffer(data, dtype=np.int64, count=n_ids // 8)
+    hs = np.frombuffer(data, dtype=np.int64, count=n_hs // 8, offset=n_ids)
+    value = (ids, hs)
+    _cache_put(key, len(data), value)
+    return value
+
+
+def read_segment(root: str, filename: str) -> tuple[bytes, bytes, np.ndarray, np.ndarray]:
+    """(bloom_bytes, cuckoo_bytes, ids, hs) for a stored run, through the
+    process-level LRU. Arrays are read-only views over the cached buffer."""
+    bloom_b, cuckoo_b, _ = read_segment_filters(root, filename)
+    ids, hs = read_segment_keys(root, filename)
+    return bloom_b, cuckoo_b, ids, hs
 
 
 def gc_segments(root: str, referenced: set[str]) -> int:

@@ -145,9 +145,13 @@ def _dedup_group_store(
     entries: list = json.loads(state.get[0]) if state.exists else []
     segs = []
     for seg_id, lo, _n, fname in entries:
-        bloom_b, cuckoo_b, ids, hs = segstore.read_segment(store_root, fname)
+        # lazy keys, like the batch path: filters load now, key arrays
+        # only when a bloom positive needs exact resolve or a tier merge
+        # absorbs the run (dedup.seg_keys)
+        bloom_b, cuckoo_b, _ = segstore.read_segment_filters(store_root, fname)
         segs.append({"seg": seg_id, "lo": lo, "bloom_b": bloom_b,
-                     "cuckoo_b": cuckoo_b, "ids": ids, "hs": hs})
+                     "cuckoo_b": cuckoo_b, "n": int(_n),
+                     "_keys_from": (store_root, fname)})
     admitted = []
     batch_ids = np.zeros(0, dtype=np.int64)
     batch_hs = np.zeros(0, dtype=np.int64)
@@ -172,15 +176,16 @@ def _dedup_group_store(
             batch_ids, batch_hs = batch_ids[o], batch_hs[o]
             admitted.append(new[["host_bucket", "url_id", "url"]])
     if len(batch_ids):
-        j = dedup.tier_absorb([len(s["ids"]) for s in segs], len(batch_ids))
+        j = dedup.tier_absorb([s["n"] for s in segs], len(batch_ids))
         if j == len(segs) - 1:  # pure append (also the empty-state case)
             run_ids, run_hs = batch_ids, batch_hs
             seg_id = segs[-1]["seg"] + 1 if segs else 0
             lo = seg_id
         else:
             absorbed = segs[j + 1:]
-            run_ids = np.concatenate([s["ids"] for s in absorbed] + [batch_ids])
-            run_hs = np.concatenate([s["hs"] for s in absorbed] + [batch_hs])
+            absorbed_keys = [dedup.seg_keys(s) for s in absorbed]
+            run_ids = np.concatenate([k[0] for k in absorbed_keys] + [batch_ids])
+            run_hs = np.concatenate([k[1] for k in absorbed_keys] + [batch_hs])
             oo = np.lexsort((run_hs, run_ids))
             run_ids, run_hs = run_ids[oo], run_hs[oo]
             seg_id = segs[-1]["seg"] + 1
