@@ -1292,6 +1292,44 @@ def q_media_features(spark, sf):
     return feats.select("doc_id", "media_ref", "n_bytes", "width", "height", "checksum")
 
 
+# REAL decode with a FULL value oracle: the corpus generator writes genuine
+# PPM/BMP/PNG/WAV bytes whose decoded features are closed-form arithmetic on
+# md5(text) (constant fill / constant amplitude — see
+# multimodal.synthesize_media_corpus), so DuckDB recomputes width / height /
+# channels / sample_rate / duration / mean EXACTLY while Spark actually
+# parses headers, inflates zlib streams, unfilters scanlines, and walks RIFF
+# chunks. Verifies the from-scratch codecs (operators/mediacodec.py) through
+# the contract gate, not just pytest.
+_MEDIA_DECODED_SQL = (
+    "WITH p AS (SELECT doc_id, 'md5:' || md5(text) AS media_ref,"
+    " ('0x' || substr(md5(text), 1, 8))::BIGINT AS h8, doc_id % 4 AS fmt"
+    " FROM documents),"
+    " q AS (SELECT doc_id, media_ref, fmt, 4 + h8 % 29 AS w,"
+    " 4 + (h8 >> 8) % 23 AS ht, h8 % 256 AS fill, 16 + 8 * (h8 % 60) AS n,"
+    " (h8 % 20001) - 10000 AS amp FROM p)"
+    " SELECT doc_id, media_ref,"
+    " CASE fmt WHEN 0 THEN 'image/x-portable-pixmap' WHEN 1 THEN 'image/bmp'"
+    " WHEN 2 THEN 'image/png' ELSE 'audio/wav' END AS mime,"
+    " (CASE WHEN fmt <= 2 THEN w ELSE 0 END)::INT AS width,"
+    " (CASE WHEN fmt <= 2 THEN ht ELSE 0 END)::INT AS height,"
+    " (CASE WHEN fmt <= 2 THEN 3 ELSE 0 END)::INT AS channels,"
+    " (CASE WHEN fmt = 3 THEN 8000 ELSE 0 END)::INT AS sample_rate,"
+    " (CASE WHEN fmt = 3 THEN n // 8 ELSE 0 END)::INT AS duration_ms,"
+    " CASE WHEN fmt <= 2 THEN fill::DOUBLE ELSE abs(amp) / 32768.0 END"
+    " AS mean_value, TRUE AS decoded FROM q"
+)
+
+
+@_q("media_features_decoded", _MEDIA_DECODED_SQL)
+def q_media_features_decoded(spark, sf):
+    corpus = multimodal.synthesize_media_corpus(_t(spark, sf, "documents"))
+    feats = multimodal.extract_media_features_real(corpus)
+    return feats.select(
+        "doc_id", "media_ref", "mime", "width", "height", "channels",
+        "sample_rate", "duration_ms", "mean_value", "decoded",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

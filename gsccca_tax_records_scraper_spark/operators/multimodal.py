@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +67,65 @@ def attach_media(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.encode(F.col(text_col), "utf-8").alias("media_bytes"),
         F.lit("image/fake").alias("mime"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def synthesize_media_corpus(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic mixed-format media corpus for decode verification: each
+    document's text seeds a REAL encoded blob — cycling PPM / BMP / PNG /
+    PCM-WAV on doc_id % 4 — whose dimensions, fill value, and amplitude are
+    closed-form arithmetic on md5(text). Constant-fill rasters and
+    constant-amplitude samples make every decoded feature (width, height,
+    channels, mean pixel value, sample rate, duration, RMS) exactly
+    recomputable by a SQL oracle that never touches the bytes, while the
+    engine performs a genuine binary decode (PPM/BMP header+raster parse,
+    PNG zlib inflate + filter reconstruction, RIFF chunk walk). Exactness is
+    by construction: means of constant arrays and |amp|/2^15 round-trip IEEE
+    doubles with zero error, and WAV lengths are multiples of 8 samples so
+    duration_ms is an integer. Generator op (one blob per row, bounded small
+    images) — not a hot path; feature extraction downstream is the measured
+    surface. Mirrors sitegen.py's role for the crawl tables
+    (reference artifact shape: PNG screenshots, lien_index_scraper.py:687)."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "media_ref": [], "media_bytes": [],
+                   "mime": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                h8 = int(digest[:8], 16)
+                fmt = int(doc_id) % 4
+                if fmt == 3:  # PCM-WAV: constant amplitude, n % 8 == 0
+                    n = 16 + 8 * (h8 % 60)
+                    amp = (h8 % 20001) - 10000
+                    samples = np.full(n, amp, dtype=np.int16)
+                    blob = mediacodec.encode_wav(samples, 8000)
+                    mime = "audio/wav"
+                else:  # constant-fill raster
+                    w = 4 + h8 % 29
+                    h = 4 + ((h8 >> 8) % 23)
+                    px = np.full((h, w, 3), h8 % 256, dtype=np.uint8)
+                    enc = (mediacodec.encode_ppm, mediacodec.encode_bmp,
+                           mediacodec.encode_png)[fmt]
+                    blob = enc(px)
+                    mime = ("image/x-portable-pixmap", "image/bmp",
+                            "image/png")[fmt]
+                out["doc_id"].append(int(doc_id))
+                out["media_ref"].append("md5:" + digest)
+                out["media_bytes"].append(blob)
+                out["mime"].append(mime)
+                out["n_bytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    return (
+        documents.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).mapInPandas(run, MEDIA_SCHEMA)
     )
 
 

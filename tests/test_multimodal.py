@@ -245,3 +245,33 @@ def test_png_in_real_features_and_thumbnails(spark):
     assert np.array_equal(
         mc.decode_ppm(bytes(t.thumb_ppm)), mc.resize_nearest(img, 8, 8)
     )
+
+
+def test_synthesized_corpus_decodes_exactly(spark, sf001):
+    """synthesize_media_corpus writes real PPM/BMP/PNG/WAV bytes; the real
+    decoder must recover the closed-form features EXACTLY (the same formulas
+    the media_features_decoded oracle recomputes in SQL)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(64)
+    corpus = multimodal.synthesize_media_corpus(docs).cache()
+    # blobs really are the claimed container formats
+    from gsccca_tax_records_scraper_spark.operators import mediacodec
+
+    for m in corpus.collect():
+        assert mediacodec.sniff(bytes(m.media_bytes)) == m.mime
+        assert m.n_bytes == len(bytes(m.media_bytes))
+
+    feats = {r.doc_id: r for r in
+             multimodal.extract_media_features_real(corpus).collect()}
+    for d in docs.select("doc_id", "text").collect():
+        h8 = int(hashlib.md5(d.text.encode()).hexdigest()[:8], 16)
+        r = feats[d.doc_id]
+        assert r.decoded is True
+        if d.doc_id % 4 == 3:  # WAV
+            n, amp = 16 + 8 * (h8 % 60), (h8 % 20001) - 10000
+            assert (r.width, r.height, r.channels) == (0, 0, 0)
+            assert r.sample_rate == 8000 and r.duration_ms == n // 8
+            assert r.mean_value == abs(amp) / 32768.0  # exact by construction
+        else:  # constant-fill raster
+            assert r.width == 4 + h8 % 29 and r.height == 4 + (h8 >> 8) % 23
+            assert r.channels == 3 and r.sample_rate == 0
+            assert r.mean_value == float(h8 % 256)  # exact: constant array
