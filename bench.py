@@ -562,7 +562,14 @@ def dedup_growth(
         # the content-addressed run files first and between reps so every
         # rep re-pays the write. The replay is the epoch the main pass
         # ran, bit for bit — it just samples its time more than once.
-        for e_p in probe_epochs:
+        # LAST probe first: deleting epoch e's run files (to make the replay
+        # re-pay the write) is only safe once no later probe's saved input
+        # state can still reference them — a run written at the earlier
+        # probe epoch survives to the later probe's input whenever the tier
+        # rule hasn't absorbed it (e.g. n_epochs=12, compact_every=4: epoch
+        # 7's full fold is live in probe_inputs[11]). Files created at e_p
+        # can never be referenced by states of epochs <= e_p.
+        for e_p in sorted(probe_epochs, reverse=True):
             if probe_inputs.get(e_p) is None:
                 continue
             for f in epoch_files.get(e_p, []):

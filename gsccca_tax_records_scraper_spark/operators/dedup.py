@@ -414,6 +414,39 @@ def _build_run(ids: np.ndarray, hs: np.ndarray) -> tuple[bytes, bytes]:
     return bloom.to_bytes(), cuckoo.to_bytes()
 
 
+def emit_run(
+    segs: list[dict], new_ids: np.ndarray, new_hs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int, int, bytes, bytes]:
+    """Materialize the epoch's new run over a live segment stack: canonical
+    (id, h) ordering, the tier_absorb decision, merge of any absorbed
+    segments' keys, and filter construction. ONE implementation shared by
+    the batch cogroup (_fused_fn) and the streaming state operator
+    (streaming/stateful._dedup_group_store) so the two backends can never
+    desynchronize on seg_id/lo/absorb semantics. Returns
+    (run_ids, run_hs, seg_id, lo, bloom_bytes, cuckoo_bytes); lo is the
+    run's coverage floor (== seg_id for a pure append, the lowest absorbed
+    seg otherwise, 0 for a full fold)."""
+    o = np.lexsort((new_hs, new_ids))
+    new_ids, new_hs = new_ids[o], new_hs[o]
+    j = tier_absorb([s["n"] for s in segs], len(new_ids))
+    if j == len(segs) - 1:  # pure append (also the empty-state case)
+        run_ids, run_hs = new_ids, new_hs
+        seg_id = segs[-1]["seg"] + 1 if segs else 0
+        lo = seg_id  # covers nothing below itself
+    else:
+        absorbed = segs[j + 1:]
+        absorbed_keys = [seg_keys(s) for s in absorbed]
+        run_ids = np.concatenate([k[0] for k in absorbed_keys] + [new_ids])
+        run_hs = np.concatenate([k[1] for k in absorbed_keys] + [new_hs])
+        oo = np.lexsort((run_hs, run_ids))
+        run_ids, run_hs = run_ids[oo], run_hs[oo]
+        seg_id = segs[-1]["seg"] + 1
+        # full rewrite marks lo=0 so storage GC kills every older row
+        lo = 0 if j < 0 else absorbed[0]["seg"]
+    bloom_b, cuckoo_b = _build_run(run_ids, run_hs)
+    return run_ids, run_hs, seg_id, lo, bloom_b, cuckoo_b
+
+
 def _empty_out(store: bool = False) -> pd.DataFrame:
     out = pd.DataFrame(
         {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
@@ -514,28 +547,12 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
             return empty.assign(seg=0, lo=0, bloom=None, cuckoo=None, ids=None,
                                 hs=None, n_items=0, epoch=0)
 
-        # canonical (id, h) order for the new run: state bytes must not
-        # depend on partition layout
-        o = np.lexsort((new_hs, new_ids))
-        new_ids, new_hs = new_ids[o], new_hs[o]
-
-        # (d) size-tiered absorb (tier_absorb docstring has the rules)
-        j = tier_absorb([s["n"] for s in segs], len(new_ids))
-        if j == len(segs) - 1:  # pure append (also the empty-bucket case)
-            run_ids, run_hs = new_ids, new_hs
-            seg_id = segs[-1]["seg"] + 1 if segs else 0
-            lo = seg_id  # covers nothing
-        else:
-            absorbed = segs[j + 1:]
-            absorbed_keys = [seg_keys(s) for s in absorbed]
-            run_ids = np.concatenate([k[0] for k in absorbed_keys] + [new_ids])
-            run_hs = np.concatenate([k[1] for k in absorbed_keys] + [new_hs])
-            oo = np.lexsort((run_hs, run_ids))
-            run_ids, run_hs = run_ids[oo], run_hs[oo]
-            seg_id = segs[-1]["seg"] + 1
-            # full rewrite marks lo=0 so storage GC kills every older row
-            lo = 0 if j < 0 else absorbed[0]["seg"]
-        bloom_b, cuckoo_b = _build_run(run_ids, run_hs)
+        # (d) canonical ordering + size-tiered absorb + filter build — the
+        # shared run-emission rule (state bytes must not depend on
+        # partition layout; emit_run owns the lexsort)
+        run_ids, run_hs, seg_id, lo, bloom_b, cuckoo_b = emit_run(
+            segs, new_ids, new_hs
+        )
 
         out = new_rows[_PAYLOAD_COLS].copy()
         out["seg"] = np.int32(0)

@@ -246,7 +246,19 @@ def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
         rb"/Subtype\s*/Image\b(.*?)>>\s*stream\r?\n", blob, re.DOTALL
     ):
         head = m.group(1)
-        length = int(re.search(rb"/Length\s+(\d+)", head).group(1))
+
+        def field(name: bytes) -> int:
+            # direct integer values only: an indirect reference ('/Length
+            # 8 0 R', the img2pdf/Ghostscript default) needs an xref walk
+            # this honest non-parser doesn't do — gate, don't crash
+            fm = re.search(rb"/" + name + rb"\s+(\d+)(\s+\d+\s+R\b)?", head)
+            if fm is None or fm.group(2):
+                raise UnsupportedMediaError(
+                    f"PDF image /{name.decode()} missing or indirect"
+                )
+            return int(fm.group(1))
+
+        length = field(b"Length")
         data = blob[m.end() : m.end() + length]
         if b"/DCTDecode" in head:
             from . import jpegcodec
@@ -255,8 +267,8 @@ def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
             continue
         if b"/FlateDecode" not in head:
             raise UnsupportedMediaError("PDF image filter not FlateDecode")
-        w = int(re.search(rb"/Width\s+(\d+)", head).group(1))
-        h = int(re.search(rb"/Height\s+(\d+)", head).group(1))
+        w = field(b"Width")
+        h = field(b"Height")
         ch = 1 if b"/DeviceGray" in head else 3
         img = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
         images.append(img.reshape(h, w, ch))

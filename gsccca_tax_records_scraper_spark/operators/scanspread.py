@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
+    # .rdd compiles the plan once more than necessary — a driver-side
+    # planning pass only (no job), paid once per OPERATOR call, not per row;
+    # PySpark exposes no cheaper partition count for an unexecuted plan.
+    # Spread only when SEVERELY under-split (< half the session's cores):
+    # a mid-plan input at e.g. 200 of 256 partitions keeps its partitioning
+    # rather than paying a full shuffle of raw rows for a 28% wave gain.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df

@@ -146,12 +146,6 @@ class CuckooFilter:
         b2 = b1 ^ alt
         return fp, b1, b2
 
-    def _alt_bucket(self, fp: np.uint16, b: int) -> int:
-        alt = int(_mix64(np.array([fp], dtype=np.uint64), 0x9E3779B97F4A7C15)[0]) & (
-            self.n_buckets - 1
-        )
-        return b ^ alt
-
     def contains(self, ids: np.ndarray) -> np.ndarray:
         if len(ids) == 0:
             return np.zeros(0, dtype=bool)
@@ -263,22 +257,6 @@ class CuckooFilter:
             active = active[~done[active]]
             # non-writers simply retry next round
         return failed
-
-    def _insert_one(self, fp: int, b: int) -> bool:
-        import numpy as _np
-
-        rng_state = fp  # deterministic kick choice
-        for _ in range(self.MAX_KICKS):
-            row = self.table[b]
-            empty = _np.where(row == 0)[0]
-            if len(empty):
-                self.table[b, empty[0]] = fp
-                return True
-            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
-            slot = rng_state % self.SLOTS
-            fp, self.table[b, slot] = int(self.table[b, slot]), fp
-            b = self._alt_bucket(np.uint16(fp), b)
-        return False
 
     def delete(self, ids: np.ndarray) -> np.ndarray:
         """Remove one fingerprint copy per id; returns bool removed[]."""

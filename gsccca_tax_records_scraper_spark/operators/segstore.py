@@ -102,11 +102,19 @@ def _is_uri(root: str) -> bool:
     return "://" in root
 
 
-def _pafs(root: str):
-    import pyarrow.fs as pafs
+_PAFS_CACHE: dict[str, tuple] = {}
 
-    fs, path = pafs.FileSystem.from_uri(root)
-    return fs, path
+
+def _pafs(root: str):
+    """Memoized per root: FileSystem.from_uri builds a fresh client
+    (credential resolution, connection setup) each call — unacceptable per
+    probe on the hot dedup path against s3/hdfs store roots."""
+    hit = _PAFS_CACHE.get(root)
+    if hit is None:
+        import pyarrow.fs as pafs
+
+        hit = _PAFS_CACHE[root] = pafs.FileSystem.from_uri(root)
+    return hit
 
 
 def _read_bytes(root: str, filename: str) -> bytes:

@@ -176,21 +176,12 @@ def _dedup_group_store(
             batch_ids, batch_hs = batch_ids[o], batch_hs[o]
             admitted.append(new[["host_bucket", "url_id", "url"]])
     if len(batch_ids):
-        j = dedup.tier_absorb([s["n"] for s in segs], len(batch_ids))
-        if j == len(segs) - 1:  # pure append (also the empty-state case)
-            run_ids, run_hs = batch_ids, batch_hs
-            seg_id = segs[-1]["seg"] + 1 if segs else 0
-            lo = seg_id
-        else:
-            absorbed = segs[j + 1:]
-            absorbed_keys = [dedup.seg_keys(s) for s in absorbed]
-            run_ids = np.concatenate([k[0] for k in absorbed_keys] + [batch_ids])
-            run_hs = np.concatenate([k[1] for k in absorbed_keys] + [batch_hs])
-            oo = np.lexsort((run_hs, run_ids))
-            run_ids, run_hs = run_ids[oo], run_hs[oo]
-            seg_id = segs[-1]["seg"] + 1
-            lo = 0 if j < 0 else absorbed[0]["seg"]
-        bloom_b, cuckoo_b = dedup._build_run(run_ids, run_hs)
+        # shared run-emission rule (ordering + absorb + filters): one
+        # implementation with the batch cogroup, so the backends can't
+        # desynchronize on seg_id/lo/absorb semantics
+        run_ids, run_hs, seg_id, lo, bloom_b, cuckoo_b = dedup.emit_run(
+            segs, batch_ids, batch_hs
+        )
         fname = segstore.write_segment(
             store_root, bucket, seg_id, bloom_b, cuckoo_b, run_ids, run_hs
         )
