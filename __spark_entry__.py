@@ -1230,6 +1230,70 @@ _REGISTRY["ann_lsh_topk"] = (_q_lsh_topk, _ann_lsh_sql())
 _REGISTRY["ann_ivf_topk"] = (_q_ivf_topk, _ann_ivf_sql())
 
 
+# Embedding-cosine near-dup PAIRS: the last rung of the dedup ladder
+# (exact / ngram / minhash-LSH / simhash are on `documents`; this one is on
+# `embeddings`). Banded sign-LSH candidates + exact-cosine verify. The md5-
+# Rademacher planes pin the hash family, so the oracle rebuilds bucketing,
+# candidate generation (bucket self-join == posting-list expansion+distinct)
+# and the cosine verify bit-for-bit.
+
+_NEARDUP_BANDS, _NEARDUP_ROWS, _NEARDUP_TH = 4, 4, 0.35
+
+
+def _neardup_planes() -> list[list[float]]:
+    return similarity.rademacher_planes(_LSH_DIM, _NEARDUP_BANDS * _NEARDUP_ROWS)
+
+
+def _cosine_neardup_sql() -> str:
+    planes = _neardup_planes()
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for j in range(_NEARDUP_ROWS):
+            lst = "[" + ", ".join(str(int(x)) for x in planes[b * _NEARDUP_ROWS + j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lst}::DOUBLE[]) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    wide = ", ".join(f"{bucket_expr(b)} AS bk{b}" for b in range(_NEARDUP_BANDS))
+    unnest = ", ".join(
+        f"struct_pack(band := {b}, bucket := bk{b})" for b in range(_NEARDUP_BANDS)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return (
+        f"WITH w AS (SELECT vec_id, embedding, {wide} FROM embeddings),"
+        f" s AS (SELECT vec_id, unnest([{unnest}], recursive := true) FROM w),"
+        " p AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id FROM s a"
+        "   JOIN s c ON a.band = c.band AND a.bucket = c.bucket"
+        "   AND a.vec_id < c.vec_id)"
+        " SELECT a_id, b_id, round(cos, 6) AS cos FROM ("
+        f"   SELECT p.a_id, p.b_id, {cos} AS cos FROM p"
+        "    JOIN embeddings ea ON ea.vec_id = p.a_id"
+        "    JOIN embeddings eb ON eb.vec_id = p.b_id)"
+        f" WHERE cos >= {_NEARDUP_TH}"
+    )
+
+
+def _q_cosine_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb,
+        threshold=_NEARDUP_TH,
+        n_bands=_NEARDUP_BANDS,
+        rows_per_band=_NEARDUP_ROWS,
+        planes=_neardup_planes(),
+    )
+
+
+_REGISTRY["cosine_neardup_pairs"] = (_q_cosine_neardup, _cosine_neardup_sql())
+
+
 # ---- training-data pipeline: text analysis ----------------------------------
 
 @_q(

@@ -131,6 +131,79 @@ def lsh_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via banded sign-LSH — the
+    embedding rung of the dedup ladder (exact / ngram / minhash / simhash
+    live in textdedup.py; reference dedup analog: URL natural-key equality,
+    realestate_index_scraper.py:474,510).
+
+    Banding mirrors minhash-LSH: `n_bands` independent bands of
+    `rows_per_band` sign bits each; two vectors are CANDIDATES iff some band
+    agrees on all its bits (P = 1-(1-p^r)^b, p = 1 - theta/pi). Candidates
+    are generated posting-list style per (band, bucket) — one shuffle, pairs
+    emitted inside codegen via _pairs_from_sorted, no self-join — then
+    verified by joining the (pruned) pair set back to the vectors and
+    computing exact cosine JVM-side. At 100 TB the two verify joins run on
+    the ~N/2^r-per-bucket candidate set, not the N^2 cross product; buckets
+    are uniform by construction (random hyperplanes), so no salting needed.
+
+    Output: (a_id, b_id, cos) with a_id < b_id, cos rounded to 6 dp,
+    cos >= threshold. Pass md5-Rademacher `planes` to pin the hash family
+    for the SQL oracle."""
+    from .textdedup import _pairs_from_sorted
+
+    if planes is None:
+        planes = rademacher_planes(dim, n_bands * rows_per_band)
+    assert len(planes) >= n_bands * rows_per_band
+
+    base = spread_scan(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    band_cols = []
+    for b in range(n_bands):
+        bucket = F.lit(0)
+        for j in range(rows_per_band):
+            p = planes[b * rows_per_band + j]
+            proj = dot_col(F.col("v"), F.array(*[F.lit(float(x)) for x in p]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_cols.append(bucket.cast("int").alias(f"bk{b}"))
+    wide = base.select("vec_id", "v", *band_cols)
+
+    stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    sigs = wide.selectExpr("vec_id", f"stack({n_bands}, {stack}) as (band, bucket)")
+    posts = (
+        sigs.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair = lambda x, y: F.struct(x.alias("a_id"), y.alias("b_id"))  # noqa: E731
+    pairs = (
+        posts.select(F.explode(_pairs_from_sorted(F.col("ids"), pair)).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    va = wide.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = wide.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id", "b_id", cosine_col(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def train_ivf_centroids(
     base: DataFrame,
     n_cells: int,

@@ -90,3 +90,52 @@ def test_ivf_trained_centroids_on_clustered_data(spark):
     rec_r = sum(len(bf[q] & ivf_r.get(q, set())) / len(bf[q]) for q in bf) / len(bf)
     assert rec_t >= 0.8, rec_t
     assert rec_t >= rec_r, (rec_t, rec_r)
+
+
+def test_neardup_pairs_properties(emb):
+    """Every reported pair is ordered, unique, and truly >= threshold;
+    the candidate pruning never invents a pair that brute force (same
+    threshold) doesn't also contain."""
+    th = 0.35
+    got = similarity.cosine_neardup_pairs(emb, threshold=th).collect()
+    keys = [(r.a_id, r.b_id) for r in got]
+    assert len(keys) == len(set(keys))  # distinct pairs
+    assert all(a < b for a, b in keys)
+    assert all(r.cos >= th for r in got)
+    # brute-force superset check: banded LSH must be a SUBSET of the true
+    # near-dup pair set (it prunes, never fabricates)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    bf = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            similarity.cosine_col(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= th)
+    )
+    truth = {(r.a_id, r.b_id) for r in bf.collect()}
+    assert set(keys) <= truth
+    assert len(keys) > 0  # nonzero at sf0.001 with th=0.35
+
+
+def test_neardup_planted_duplicates_found(spark):
+    """Identical vectors agree on every band, so exact duplicates are found
+    with recall 1.0 regardless of banding; near-identical ones (tiny noise)
+    are found too."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    base = rs.normal(size=(50, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    # plant: 50+i == exact dup of i (i<5), 60+i == i + tiny noise (i<5)
+    for i in range(5):
+        rows.append((50 + i, [float(x) for x in base[i]]))
+        rows.append((60 + i, [float(x) for x in base[i] + 0.01 * rs.normal(size=64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a_id, r.b_id) for r in
+           similarity.cosine_neardup_pairs(emb, threshold=0.95).collect()}
+    for i in range(5):
+        assert (i, 50 + i) in got, f"exact dup {i} missed"
+        assert (i, 60 + i) in got, f"near dup {i} missed"
