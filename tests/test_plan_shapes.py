@@ -117,3 +117,18 @@ def test_scan_partition_count_respects_input(spark, sf01):
     li = spark.read.parquet(f"{sf01}/lineitem.parquet")
     # 600k rows in a single small file: must not explode into tiny tasks
     assert li.rdd.getNumPartitions() <= 32
+
+
+def test_neardup_pairs_plan_shape(spark, sf01):
+    """banded sign-LSH near-dup: candidate generation is posting-list style
+    (bucket groupBy + distinct = exactly 2 shuffles), never a cartesian /
+    nested-loop pair join; the exact-cosine verify joins run on the PRUNED
+    pair set, which AQE broadcasts against the vector table."""
+    df = entrymod.queries()["cosine_neardup_pairs"](spark, sf01)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
+    assert plan.count("BroadcastHashJoin") == 2  # both verify joins broadcast
