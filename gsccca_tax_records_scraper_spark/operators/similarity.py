@@ -140,6 +140,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS via banded sign-LSH — the
     embedding rung of the dedup ladder (exact / ngram / minhash / simhash
@@ -152,13 +153,24 @@ def cosine_neardup_pairs(
     are generated posting-list style per (band, bucket) — one shuffle, pairs
     emitted inside codegen via _pairs_from_sorted, no self-join — then
     verified by joining the (pruned) pair set back to the vectors and
-    computing exact cosine JVM-side. At 100 TB the two verify joins run on
-    the ~N/2^r-per-bucket candidate set, not the N^2 cross product; buckets
-    are uniform by construction (random hyperplanes), so no salting needed.
+    computing exact cosine JVM-side, so only the pruned pair set (not the
+    N^2 cross product) ever carries vector payloads.
+
+    SIZE THE BANDS TO THE CORPUS: a band has 2^rows_per_band buckets and a
+    bucket's posting list holds ~N/2^r ids (hyperplane buckets are uniform
+    on near-isotropic data), so pairs per bucket grow as (N/2^r)^2. Choose
+    rows_per_band >= log2(N / target_bucket_size) — e.g. r=20 holds buckets
+    near ~1k ids at N=1e9 — and recover recall by raising n_bands
+    (1-(1-p^r)^b). The r=4 default is sized for the tiny test corpus. For
+    clustered (non-isotropic) corpora `max_bucket` drops over-dense buckets
+    outright (the ngram max_df move, textdedup.py): a bucket that dense is
+    a dup CLUSTER better handled by exact/fingerprint dedup than by
+    emitting its n^2 pairs.
 
     Output: (a_id, b_id, cos) with a_id < b_id, cos rounded to 6 dp,
     cos >= threshold. Pass md5-Rademacher `planes` to pin the hash family
-    for the SQL oracle."""
+    for the SQL oracle (which sets max_bucket=None so the SQL self-join is
+    result-identical)."""
     from .textdedup import _pairs_from_sorted
 
     if planes is None:
@@ -185,6 +197,8 @@ def cosine_neardup_pairs(
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        posts = posts.filter(F.size("ids") <= max_bucket)
     pair = lambda x, y: F.struct(x.alias("a_id"), y.alias("b_id"))  # noqa: E731
     pairs = (
         posts.select(F.explode(_pairs_from_sorted(F.col("ids"), pair)).alias("p"))

@@ -139,3 +139,25 @@ def test_neardup_planted_duplicates_found(spark):
     for i in range(5):
         assert (i, 50 + i) in got, f"exact dup {i} missed"
         assert (i, 60 + i) in got, f"near dup {i} missed"
+
+
+def test_neardup_max_bucket_prunes_dense_clusters(spark):
+    """max_bucket drops over-dense buckets (dup clusters) from pair
+    emission while sparse-bucket pairs survive."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    hub = rs.normal(size=64)
+    rows = [(i, [float(x) for x in hub + 0.01 * rs.normal(size=64)])
+            for i in range(30)]  # one dense cluster: all 30 share buckets
+    spoke = rs.normal(size=64)
+    rows += [(100, [float(x) for x in spoke]),
+             (101, [float(x) for x in spoke])]  # one sparse exact pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {(r.a_id, r.b_id) for r in similarity.cosine_neardup_pairs(
+        emb, threshold=0.9, max_bucket=5).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 30 and b < 30 for a, b in capped)  # cluster dropped
+    uncapped = {(r.a_id, r.b_id) for r in similarity.cosine_neardup_pairs(
+        emb, threshold=0.9).collect()}
+    assert any(a < 30 and b < 30 for a, b in uncapped)
