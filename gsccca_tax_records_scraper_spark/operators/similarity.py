@@ -150,8 +150,9 @@ def cosine_neardup_pairs(
     Banding mirrors minhash-LSH: `n_bands` independent bands of
     `rows_per_band` sign bits each; two vectors are CANDIDATES iff some band
     agrees on all its bits (P = 1-(1-p^r)^b, p = 1 - theta/pi). Candidates
-    are generated posting-list style per (band, bucket) — one shuffle, pairs
-    emitted inside codegen via _pairs_from_sorted, no self-join — then
+    are generated posting-list style per (band, bucket) — a bucket groupBy
+    shuffle plus a pair-distinct shuffle (the larger of the two at scale),
+    pairs emitted inside codegen via _pairs_from_sorted, no self-join — then
     verified by joining the (pruned) pair set back to the vectors and
     computing exact cosine JVM-side, so only the pruned pair set (not the
     N^2 cross product) ever carries vector payloads.
@@ -205,8 +206,10 @@ def cosine_neardup_pairs(
         .select("p.a_id", "p.b_id")
         .distinct()
     )
-    va = wide.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    vb = wide.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    # verify joins need only (vec_id, v): derive from `base`, not `wide`,
+    # so the band-bucket projections can never leak into these scans
+    va = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     return (
         pairs.join(va, "a_id")
         .join(vb, "b_id")
