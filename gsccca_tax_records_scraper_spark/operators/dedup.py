@@ -113,10 +113,11 @@ shuffle AND parquet — tracks the touched set on the way in and the NEW
 KEYS (amortized) on the way out.
 
 The decision remains exact w.r.t. the seen SET; the filters only skip work
-(bloom-negative skips the resolve), never claim "seen" on their own. The
-cuckoo table is maintained for the deletion / recrawl-revocation capability
-(north_star): removing a url from a bloom is impossible, from the cuckoo it
-is an O(1) fingerprint delete.
+(a candidate must be bloom-positive AND cuckoo-positive before a segment's
+key arrays are pulled for the exact resolve), never claim "seen" on their
+own. The cuckoo additionally carries the deletion / recrawl-revocation
+capability (north_star): removing a url from a bloom is impossible, from
+the cuckoo it is an O(1) fingerprint delete.
 
 The `seen_exact` checkpoint table is still WRITTEN per epoch (export,
 lineage, and disaster rebuild all read it) but the hot dedup path no longer
@@ -331,8 +332,19 @@ def seg_keys(s: dict) -> tuple[np.ndarray, np.ndarray]:
 def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.ndarray:
     """Exact membership of (q_ids, q_hs) in the union of the segments:
     per-segment bloom prefilter (largest run first — most hits resolve
-    there and drop out of the later probes) + exact resolve of the
-    positives against that segment's sorted key arrays."""
+    there and drop out of the later probes), cuckoo CONFIRM of the bloom
+    positives, then exact resolve against the segment's sorted key arrays.
+
+    The cuckoo confirm is what makes the lazy key loading pay off on
+    fresh-heavy epochs: a bloom false positive alone would pull the
+    segment's full key arrays (16 B/key — ~97% of its bytes) off the
+    store; requiring both filters to agree drops the false-pull rate from
+    the bloom's ~1% to the product of the two. Sound because segments
+    have no cuckoo false negatives by construction: _build_run places
+    EVERY fingerprint (rebuild-doubled until none fail) and revocation
+    only deletes keys verified present in the exact arrays — same-
+    fingerprint copies within a bucket pair are interchangeable, so a
+    surviving key always keeps a findable copy."""
     seen = np.zeros(len(q_ids), dtype=bool)
     if not len(q_ids):
         return seen
@@ -343,9 +355,12 @@ def probe_segments(segs: list[dict], q_ids: np.ndarray, q_hs: np.ndarray) -> np.
         idx = np.flatnonzero(undecided)
         if not len(idx):
             break
-        bloom = seenset.BlockedBloom.from_bytes(s["bloom_b"])
+        bloom = seenset.BlockedBloom.from_bytes(s["bloom_b"], mutable=False)
         maybe = bloom.contains(q_ids[idx].view(np.uint64))
         mi = idx[maybe]
+        if len(mi):
+            cuckoo = seenset.CuckooFilter.from_bytes(s["cuckoo_b"], mutable=False)
+            mi = mi[cuckoo.contains(q_ids[mi].view(np.uint64))]
         if len(mi):
             seen_ids, seen_hs = seg_keys(s)
             found = probe_sorted_keys(seen_ids, seen_hs, q_ids[mi], q_hs[mi])

@@ -485,6 +485,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise UnsupportedMediaError("JPEG: bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

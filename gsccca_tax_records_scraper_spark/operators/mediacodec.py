@@ -11,9 +11,9 @@ XObjects, so the engine's media path is REAL end-to-end for the
 reference's artifact chain: sniff -> decode -> feature-extract -> resize
 -> re-encode -> PDF. Baseline JPEG (the dominant web image format) is
 implemented from T.81 in `operators/jpegcodec.py` — huffman entropy
-coding, block DCT, 4:4:4/grayscale; progressive/arithmetic/subsampled
-variants and video formats (MP4/...) keep the honest
-UnsupportedMediaError gate.
+coding, block DCT, grayscale/4:4:4/4:2:2/4:2:0 and progressive
+(spectral selection + successive approximation); arithmetic-coded JPEG
+and video formats (MP4/...) keep the honest UnsupportedMediaError gate.
 
 Format layouts implemented from their public specs:
   PNG       RFC 2083: 8-byte signature; IHDR/PLTE/IDAT/IEND chunks; zlib
@@ -269,9 +269,16 @@ def decode_pdf_images(blob: bytes) -> list[np.ndarray]:
             raise UnsupportedMediaError("PDF image filter not FlateDecode")
         w = field(b"Width")
         h = field(b"Height")
-        ch = 1 if b"/DeviceGray" in head else 3
-        img = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
-        images.append(img.reshape(h, w, ch))
+        if b"/DeviceGray" in head:
+            ch = 1
+        elif b"/DeviceRGB" in head:
+            ch = 3
+        else:  # CMYK/Indexed/ICC: len==h*w*3 would silently mis-decode
+            raise UnsupportedMediaError("PDF image colorspace not Gray/RGB")
+        raw = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+        if len(raw) != h * w * ch:
+            raise UnsupportedMediaError("PDF image payload/dims mismatch")
+        images.append(raw.reshape(h, w, ch))
     return images
 
 

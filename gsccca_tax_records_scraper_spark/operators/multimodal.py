@@ -15,18 +15,22 @@ Two decode tiers:
     reference's own artifact chain (PNG screenshots -> PDF,
     lien_index_scraper.py:687-708; `pdf_pages_table` unpacks those PDFs
     back into per-page image rows);
-  - REAL decode for baseline JPEG too (huffman + block DCT implemented
-    from ITU-T T.81 in `operators/jpegcodec` — 4:4:4/4:2:2/4:2:0,
-    grayscale; validated against a hand-assembled spec fixture);
-  - remaining entropy-coded formats (progressive JPEG, MP4/video) need a
-    codec library this container lacks: `real_decode=True` on one raises
-    NotImplementedError, and the md5-derived deterministic stub keeps the
+  - REAL decode for JPEG too (huffman + block DCT implemented from
+    ITU-T T.81 in `operators/jpegcodec` — grayscale/4:4:4/4:2:2/4:2:0,
+    baseline AND progressive; validated against hand-assembled spec
+    fixtures);
+  - remaining formats (arithmetic-coded JPEG, MP4/video) keep the honest
+    gate: `extract_media_features_real` marks one decoded=False, the
+    PIL-backed `real_decode=True` path raises NotImplementedError in this
+    container, and the md5-derived deterministic stub keeps the
     contract-checked schema/batch plumbing exercised either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib as _zlib
 
 import numpy as np
 import pandas as pd
@@ -192,8 +196,11 @@ def _real_features_one(blob: bytes) -> dict:
         elif mime == "audio/wav":
             out.update(mediacodec.audio_features(*mediacodec.decode_wav(blob)))
             out["decoded"] = True
-    except mediacodec.UnsupportedMediaError:
-        pass  # malformed/unsupported variant: decoded stays False
+    except (mediacodec.UnsupportedMediaError, ValueError, IndexError,
+            KeyError, _struct.error, _zlib.error):
+        # unsupported variant OR truncated/corrupt crawled blob — a bad
+        # input must mark its row decoded=False, never kill the task
+        pass
     return out
 
 
@@ -240,7 +247,6 @@ def pdf_pages_table(media: DataFrame) -> DataFrame:
     out-of-scope blobs (DCTDecode pages) are skipped — a derived view,
     like thumbnail_images. Whole-blob work stays in the worker; only the
     per-page rows cross back."""
-    import zlib as _zlib
 
     def run(it):
         for pdf in it:
@@ -254,7 +260,8 @@ def pdf_pages_table(media: DataFrame) -> DataFrame:
                 try:
                     pages = mediacodec.decode_pdf_images(blob)
                 except (mediacodec.UnsupportedMediaError, ValueError,
-                        AttributeError, _zlib.error):
+                        AttributeError, IndexError, KeyError,
+                        _struct.error, _zlib.error):
                     continue  # malformed or not the image-per-page shape
                 for p, img in enumerate(pages):
                     rows.append(
@@ -300,8 +307,9 @@ def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> Data
                         px = mediacodec.decode_bmp(blob)
                     else:
                         continue
-                except mediacodec.UnsupportedMediaError:
-                    continue
+                except (mediacodec.UnsupportedMediaError, ValueError,
+                        IndexError, KeyError, _struct.error, _zlib.error):
+                    continue  # truncated/corrupt blob: no thumbnail row
                 if px.shape[2] == 1:  # gray PNG: replicate to RGB for PPM
                     px = px.repeat(3, axis=2)
                 thumb = mediacodec.encode_ppm(

@@ -110,9 +110,13 @@ class BlockedBloom:
         return self.HEADER.pack(self.n_blocks, self.n_items) + self.words.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes) -> "BlockedBloom":
+    def from_bytes(cls, b: bytes, mutable: bool = True) -> "BlockedBloom":
+        """mutable=False skips the buffer copy: the words stay a read-only
+        view over `b` — fine for contains(), insert() would raise."""
         n_blocks, n_items = cls.HEADER.unpack_from(b)
-        words = np.frombuffer(b, dtype=np.uint64, offset=cls.HEADER.size).copy()
+        words = np.frombuffer(b, dtype=np.uint64, offset=cls.HEADER.size)
+        if mutable:
+            words = words.copy()
         return cls(int(n_blocks), words, int(n_items))
 
 
@@ -276,14 +280,15 @@ class CuckooFilter:
         return self.HEADER.pack(self.n_buckets, self.n_items) + self.table.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes) -> "CuckooFilter":
+    def from_bytes(cls, b: bytes, mutable: bool = True) -> "CuckooFilter":
+        """mutable=False skips the buffer copy (read-only view — fine for
+        contains(), insert()/delete() would raise)."""
+        table = np.frombuffer(b, dtype=np.uint16, offset=cls.HEADER.size)
+        if mutable:
+            table = table.copy()
         n_buckets, n_items = cls.HEADER.unpack_from(b)
-        table = (
-            np.frombuffer(b, dtype=np.uint16, offset=cls.HEADER.size)
-            .copy()
-            .reshape(int(n_buckets), cls.SLOTS)
-        )
-        return cls(int(n_buckets), table, int(n_items))
+        return cls(int(n_buckets), table.reshape(int(n_buckets), cls.SLOTS),
+                   int(n_items))
 
 
 # Per-host_bucket filter capacity. At 10^10 urls / 4096 buckets this would be

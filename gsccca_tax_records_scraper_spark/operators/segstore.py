@@ -103,6 +103,7 @@ def _is_uri(root: str) -> bool:
 
 
 _PAFS_CACHE: dict[str, tuple] = {}
+_DIRS_MADE: set[str] = set()
 
 
 def _pafs(root: str):
@@ -134,7 +135,11 @@ def _write_bytes_once(root: str, filename: str, data: bytes) -> None:
         fs, base = _pafs(root)
         import pyarrow.fs as pafs
 
-        fs.create_dir(base, recursive=True)
+        # one create_dir RPC per root per worker process, not per segment
+        # write (an epoch emits one run per touched bucket)
+        if root not in _DIRS_MADE:
+            fs.create_dir(base, recursive=True)
+            _DIRS_MADE.add(root)
         target = f"{base}/{filename}"
         info = fs.get_file_info([target])[0]
         if info.type != pafs.FileType.NotFound:

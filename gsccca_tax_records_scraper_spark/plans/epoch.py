@@ -462,19 +462,29 @@ class CrawlEngine:
 
     def _gc_segments(self) -> int:
         """Reclaim segment files no committed seen_state row references.
-        The referenced set is EVERY filename readable from the committed
-        delta dirs (superseded rows included — still listed means still
-        resumable), so only names retired from the metadata entirely —
-        compaction-absorbed runs, pre-revocation rewrites, crash orphans —
-        are deleted. Bounded driver collect: one string per metadata row,
-        <= fan-out x MAX_SEGS after a compaction."""
+        The referenced set is EVERY filename readable under EVERY retained
+        manifest — the current one AND the predecessor commit() keeps for
+        torn-write fallback — so a reader that falls back (corrupt newest
+        manifest on a non-rename store, manual rollback) never dangles on
+        a reclaimed payload. Superseded rows count too: still listed means
+        still resumable. Files a compaction retires therefore survive one
+        extra commit (until the pre-compaction manifest itself is pruned)
+        — bounded lag, and crash orphans are reclaimed immediately.
+        Bounded driver collect: one string per metadata row, <= fan-out x
+        MAX_SEGS per manifest view after a compaction."""
         from ..operators import segstore
 
-        last = self.store.last_epoch()
-        df = self.store.read_deltas(self.spark, "seen_state", last)
-        if df is None:
-            return 0
-        referenced = {r[0] for r in df.select("file").distinct().collect()}
+        referenced: set[str] = set()
+        for m in self.store.manifests():
+            epochs = m.get("epochs") or []
+            if not epochs:
+                continue
+            df = self.store.read_deltas(
+                self.spark, "seen_state", max(epochs), manifest=m
+            )
+            if df is None:
+                continue
+            referenced |= {r[0] for r in df.select("file").distinct().collect()}
         return segstore.gc_segments(self._seg_root, referenced)
 
     # ------------------------------------------------------------ phases

@@ -194,6 +194,32 @@ class CheckpointStore:
                 pass
         return {"epochs": [], "compacted": {}, "meta": {}}
 
+    def manifests(self) -> list[dict]:
+        """Every READABLE retained manifest, newest first: the current
+        version plus the predecessor commit() keeps for torn-write
+        fallback (legacy single-file when no versioned manifest exists).
+        Segment GC unions referenced files over ALL of these so a reader
+        that falls back to the predecessor never dangles on a reclaimed
+        payload file."""
+        out = []
+        for v in self._manifest_versions():
+            try:
+                m = json.loads(self.fs.read_text(self.manifest_path(v)))
+            except (ValueError, OSError):
+                continue
+            m.setdefault("compacted", {})
+            m.setdefault("meta", {})
+            out.append(m)
+        if not out and self.fs.exists(self.legacy_manifest_path):
+            try:
+                m = json.loads(self.fs.read_text(self.legacy_manifest_path))
+                m.setdefault("compacted", {})
+                m.setdefault("meta", {})
+                out.append(m)
+            except (ValueError, OSError):
+                pass
+        return out
+
     def committed_epochs(self) -> list[int]:
         return sorted(self._manifest()["epochs"])
 
@@ -225,10 +251,22 @@ class CheckpointStore:
     def compacted_epoch(self, table: str) -> int | None:
         return self._manifest()["compacted"].get(table)
 
-    def read_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> DataFrame | None:
+    def read_deltas(
+        self,
+        spark: SparkSession,
+        table: str,
+        upto_epoch: int,
+        manifest: dict | None = None,
+    ) -> DataFrame | None:
         """Union of the table's delta dirs up to `upto_epoch`, reading the
-        latest committed compaction instead of the deltas it folded in."""
-        comp = self.compacted_epoch(table)
+        latest committed compaction instead of the deltas it folded in.
+        `manifest` pins the view to a specific retained manifest (see
+        manifests()); default is the current one."""
+        comp = (
+            manifest["compacted"].get(table)
+            if manifest is not None
+            else self.compacted_epoch(table)
+        )
         paths = []
         start = 0
         if comp is not None and comp <= upto_epoch:

@@ -279,3 +279,30 @@ def test_multimodal_feature_dispatch():
     assert feats["mime"] == "image/jpeg"
     assert (feats["width"], feats["height"], feats["channels"]) == (20, 12, 3)
     assert abs(feats["mean_value"] - 90.0) <= 1.0
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+    spec-legal encoders emit them; the marker walk must skip, not
+    misparse the pad as a marker code."""
+    img = np.full((16, 16, 3), [90, 180, 40], dtype=np.uint8)
+    clean = J.encode_jpeg(img, quality=90)
+    i = clean.find(b"\xff\xc4")  # pad the first DHT marker
+    assert i > 0
+    padded = clean[:i] + b"\xff\xff\xff" + clean[i:]
+    assert (J.decode_jpeg(padded) == J.decode_jpeg(clean)).all()
+
+
+def test_truncated_blob_raises_catchable():
+    """A JPEG cut mid-download must raise an exception the media
+    operators' per-blob guards catch (decoded=False), never hang."""
+    import struct
+    import zlib
+
+    img = np.full((16, 16, 3), [5, 99, 201], dtype=np.uint8)
+    blob = J.encode_jpeg(img, quality=90)
+    guarded = (M.UnsupportedMediaError, ValueError, IndexError, KeyError,
+               struct.error, zlib.error)
+    for cut in (3, len(blob) // 4, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(guarded):
+            J.decode_jpeg(blob[:cut])

@@ -275,3 +275,51 @@ def test_synthesized_corpus_decodes_exactly(spark, sf001):
             assert r.width == 4 + h8 % 29 and r.height == 4 + (h8 >> 8) % 23
             assert r.channels == 3 and r.sample_rate == 0
             assert r.mean_value == float(h8 % 256)  # exact: constant array
+
+
+def test_corrupt_blobs_mark_decoded_false_not_task_kill():
+    """A truncated or corrupt crawled blob must come back decoded=False
+    from the per-blob feature extractor (and yield no thumbnail/page
+    rows), never propagate an exception that kills the Spark task."""
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import jpegcodec as J
+    from gsccca_tax_records_scraper_spark.operators import mediacodec as mc
+    from gsccca_tax_records_scraper_spark.operators.multimodal import (
+        _real_features_one,
+    )
+
+    img = np.full((16, 16, 3), [40, 120, 220], dtype=np.uint8)
+    jpeg = J.encode_jpeg(img, quality=90)
+    png = mc.encode_png(img)
+    corrupt = [
+        jpeg[: len(jpeg) // 2],          # truncated mid-entropy-data
+        jpeg[:6],                        # truncated mid-header
+        png[:20],                        # truncated PNG chunk walk
+        png[: len(png) // 2],            # truncated mid-IDAT zlib stream
+    ]
+    for blob in corrupt:
+        out = _real_features_one(blob)
+        assert out["decoded"] is False
+    # intact blobs on the same path still decode
+    assert _real_features_one(jpeg)["decoded"] is True
+    assert _real_features_one(png)["decoded"] is True
+
+
+def test_pdf_colorspace_gate():
+    """Non-Gray/RGB Flate images (CMYK/Indexed/ICC) must take the honest
+    UnsupportedMediaError gate, not reshape-guess into garbage pixels."""
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import mediacodec as mc
+
+    page = np.full((8, 6, 3), 77, dtype=np.uint8)
+    pdf = mc.pdf_from_images([page])
+    cmyk = pdf.replace(b"/DeviceRGB", b"/DeviceCMYK")
+    with pytest.raises(mc.UnsupportedMediaError):
+        mc.decode_pdf_images(cmyk)
+    # payload/dims mismatch is gated too (not a bare reshape error): claim
+    # a taller image than the Flate stream actually carries
+    taller = pdf.replace(b"/Height 8", b"/Height 9")
+    with pytest.raises(mc.UnsupportedMediaError):
+        mc.decode_pdf_images(taller)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -118,3 +119,64 @@ def test_dedup_rebuilds_overflowing_bucket(spark):
         assert bb.capacity >= bb.n_items
     for h in h2 + h3:
         h.unpersist()
+
+
+def test_from_bytes_immutable_view():
+    """mutable=False skips the deserialization copy (the probe path reads
+    filters straight off the Arrow/store buffer): contains() agrees with
+    the mutable twin, mutation raises instead of corrupting the buffer."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, 1 << 60, size=2000).astype(np.int64)
+    bloom = seenset.BlockedBloom.for_capacity(2000)
+    bloom.insert(ids.view(np.uint64))
+    cuckoo = seenset.CuckooFilter.for_capacity(2000)
+    assert cuckoo.insert(ids.view(np.uint64)) == 0
+    probe = rng.integers(0, 1 << 60, size=500).astype(np.int64).view(np.uint64)
+    bb, cb = bloom.to_bytes(), cuckoo.to_bytes()
+    b_ro = seenset.BlockedBloom.from_bytes(bb, mutable=False)
+    c_ro = seenset.CuckooFilter.from_bytes(cb, mutable=False)
+    assert (b_ro.contains(probe) == seenset.BlockedBloom.from_bytes(bb).contains(probe)).all()
+    assert (c_ro.contains(probe) == seenset.CuckooFilter.from_bytes(cb).contains(probe)).all()
+    with pytest.raises(ValueError):
+        b_ro.insert(ids[:4].view(np.uint64))
+    with pytest.raises(ValueError):
+        c_ro.delete(ids[:4].view(np.uint64))
+
+
+def test_probe_segments_cuckoo_confirm_skips_key_load(tmp_path):
+    """A bloom false positive alone must NOT pull a store-backed segment's
+    key arrays: the cuckoo confirm rejects it first (lazy `ids` never
+    materializes). A true member still resolves exactly."""
+    import numpy as np
+
+    from gsccca_tax_records_scraper_spark.operators import dedup, segstore
+
+    rng = np.random.default_rng(33)
+    ids = np.sort(rng.integers(0, 1 << 59, size=4096).astype(np.int64))
+    hs = rng.integers(-(1 << 62), 1 << 62, size=4096).astype(np.int64)
+    bloom_b, cuckoo_b = dedup._build_run(ids, hs)
+    root = str(tmp_path / "segs")
+    name = segstore.write_segment(root, 0, 0, bloom_b, cuckoo_b, ids, hs)
+    bloom = seenset.BlockedBloom.from_bytes(bloom_b)
+    cuckoo = seenset.CuckooFilter.from_bytes(cuckoo_b)
+    member = set(ids.tolist())
+    # scan for a bloom-positive / cuckoo-negative non-member (bloom FPR ~1%,
+    # joint FPR is the product, so such ids exist in a modest scan)
+    cand = np.arange(2_000_000, dtype=np.int64) + (3 << 58)
+    bp = bloom.contains(cand.view(np.uint64))
+    cp = cuckoo.contains(cand.view(np.uint64))
+    fp = cand[(bp & ~cp) & ~np.isin(cand, ids)]
+    assert len(fp), "no bloom-FP/cuckoo-negative id found; enlarge the scan"
+    probe_id = fp[:1]
+    segstore.clear_cache()
+    seg = {"n": len(ids), "bloom_b": bloom_b, "cuckoo_b": cuckoo_b,
+           "_keys_from": (root, name)}
+    got = dedup.probe_segments([seg], probe_id, np.zeros(1, dtype=np.int64))
+    assert not got[0] and "ids" not in seg, "cuckoo confirm failed to skip key load"
+    # a genuine member (correct hash) probes True and loads keys lazily
+    k = 17
+    got2 = dedup.probe_segments([seg], ids[k:k+1], hs[k:k+1])
+    assert got2[0] and "ids" in seg
+    assert probe_id[0] not in member

@@ -149,9 +149,14 @@ def test_engine_gc_reclaims_orphans(spark, tmp_path):
     last = eng.store.last_epoch()
     assert last >= 2, "compaction epoch not reached"
     assert not os.path.exists(orphan)
-    # all referenced files still exist, and no unreferenced .seg remains
-    df = eng.store.read_deltas(spark, "seen_state", last)
-    referenced = {r[0] for r in df.select("file").distinct().collect()}
+    # every file referenced by ANY retained manifest view still exists,
+    # and nothing outside those views remains (files a compaction retires
+    # survive one extra commit while the predecessor manifest names them)
+    referenced = set()
+    for m in eng.store.manifests():
+        df = eng.store.read_deltas(spark, "seen_state", max(m["epochs"]), manifest=m)
+        if df is not None:
+            referenced |= {r[0] for r in df.select("file").distinct().collect()}
     on_disk = {f for f in os.listdir(seg_dir) if f.endswith(".seg")}
     assert referenced <= on_disk
     stray = on_disk - referenced
@@ -175,3 +180,43 @@ def test_uri_root_via_pyarrow(tmp_path):
     removed = segstore.gc_segments(root, set())
     assert removed == 1
     assert segstore.gc_segments(root, set()) == 0
+
+
+def test_gc_preserves_manifest_fallback_view(spark, tmp_path):
+    """commit() retains the predecessor manifest as a torn-write fallback;
+    segment GC must not delete payload files that predecessor view still
+    references, or the fallback resumes into FileNotFoundError. Simulate
+    the fallback: crawl past a compaction (GC fires), roll back by
+    deleting the newest manifest, and resume — the engine must come up on
+    the predecessor view and finish the crawl."""
+    import re
+
+    wd = tmp_path / "crawl"
+    eng = CrawlEngine(spark, wd, epoch_seconds=60.0, compact_every=2)
+    eng.bootstrap(seed_ids=[1, 2, 3])
+    while eng.store.last_epoch() is None or eng.store.last_epoch() < 3:
+        if not eng.step():
+            break
+    assert eng.store.last_epoch() >= 2, "compaction epoch not reached"
+    # the predecessor view must be fully readable from disk after GC
+    manifests = eng.store.manifests()
+    assert len(manifests) >= 2, "no predecessor manifest retained"
+    seg_dir = str(wd / "segments")
+    on_disk = {f for f in os.listdir(seg_dir) if f.endswith(".seg")}
+    prev = manifests[1]
+    df = eng.store.read_deltas(spark, "seen_state", max(prev["epochs"]), manifest=prev)
+    prev_files = {r[0] for r in df.select("file").distinct().collect()}
+    missing = prev_files - on_disk
+    assert not missing, f"GC broke the fallback view: {missing}"
+    # roll back: drop the newest manifest, resume on the predecessor
+    names = sorted(
+        (f for f in os.listdir(wd) if re.match(r"MANIFEST-\d+\.json$", f)),
+        key=lambda f: int(re.findall(r"\d+", f)[0]),
+    )
+    os.remove(os.path.join(wd, names[-1]))
+    eng2 = CrawlEngine(spark, wd, epoch_seconds=60.0, compact_every=2)
+    eng2.run(seed_ids=[1, 2, 3])
+    from gsccca_tax_records_scraper_spark import simulator
+
+    sim = simulator.simulate_crawl([1, 2, 3], epoch_seconds=60.0)
+    assert {r.url for r in eng2.seen().collect()} == sim.seen_urls
