@@ -9,10 +9,11 @@ Cluster usage (north_star: multi-executor via --py-files):
         scripts/run_crawl.py --workdir /shared/crawl --seeds 0-158 \
         --epoch-seconds 400
 
-The workdir must be a driver-visible POSIX path (local or shared mount):
-the checkpoint manifest is maintained through the local filesystem, and
-CheckpointStore rejects hdfs://-style URIs until those ops are ported to
-the Hadoop FileSystem API.
+The workdir may be a driver-visible POSIX path (local or shared mount) or
+a Hadoop-FileSystem URI (hdfs://, s3a://, file://): CheckpointStore routes
+URI workdirs through the JVM Hadoop FileSystem API, with versioned
+MANIFEST.<n>.json files so the commit point is never absent mid-swap
+(see sources/checkpoint.py; exercised end-to-end by test_checkpoint_uri).
 
 Local sandbox usage:
 
