@@ -965,12 +965,43 @@ def main() -> None:
                             shuffle_partitions=cores * 2)
     build_seen_set(setup_spark, seen_tmp)
     setup_spark.stop()
+    # pristine segment listing: workers derive their replay baseline from
+    # os.listdir, so a crashed attempt's leftover content-addressed run
+    # files would be absorbed into a retried worker's baseline and let its
+    # timed reps skip the write (idempotent replay) — purge to this
+    # listing before every worker attempt
+    pristine_segs = set(os.listdir(f"{seen_tmp}/segments"))
+
+    def purge_segs() -> None:
+        _drop_fresh_segs(f"{seen_tmp}/segments", pristine_segs)
 
     # the sandbox host shows multi-minute contention waves that can cover a
     # whole worker's lifetime; running PASSES alternating between core
     # counts and min-merging makes a single wave unable to poison both
     # passes of the same config, and the per-worker host_busy_frac makes
     # any residual contention visible in the record
+    def run_subworker(cmd: list[str], what: str, cleanup=None) -> dict:
+        # a worker JVM can die transiently (host contention waves, OOM
+        # pressure from a neighbor); one such death must not kill a 60-90
+        # minute bench run, so retry before giving up
+        last_err = None
+        for attempt in range(3):
+            if cleanup is not None:
+                cleanup()
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=str(REPO),
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = proc.stderr[-2000:] if proc.stderr else "(no stderr)"
+            print(
+                f"[bench] {what} attempt {attempt + 1} failed "
+                f"(rc={proc.returncode}); stderr tail:\n{last_err}",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+        raise RuntimeError(f"{what} failed 3 times; last stderr:\n{last_err}")
+
     def run_worker(c: int) -> dict:
         # pin the worker to exactly c cpus: in plain local[c] the JVM's
         # GC/shuffle/python-worker threads would still use the whole
@@ -978,10 +1009,7 @@ def main() -> None:
         cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-worker", str(c), seen_tmp]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, check=True, cwd=str(REPO),
-        )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return run_subworker(cmd, f"crawl-worker[{c}]", cleanup=purge_segs)
 
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for _pass in range(N_PASSES):
@@ -1002,15 +1030,13 @@ def main() -> None:
     gcmd = [sys.executable, str(REPO / "bench.py"), "--growth-worker", "32"]
     if os.path.exists("/usr/bin/taskset"):
         gcmd = ["taskset", "-c", "0-31"] + gcmd
-    gproc = subprocess.run(gcmd, capture_output=True, text=True, check=True, cwd=str(REPO))
-    growth = json.loads(gproc.stdout.strip().splitlines()[-1])
+    growth = run_subworker(gcmd, "growth-worker[32]")
 
     # touched-set pruning evidence: batch << state, 5% vs 100% of buckets
     tcmd = [sys.executable, str(REPO / "bench.py"), "--touched-worker", "32", seen_tmp]
     if os.path.exists("/usr/bin/taskset"):
         tcmd = ["taskset", "-c", "0-31"] + tcmd
-    tproc = subprocess.run(tcmd, capture_output=True, text=True, check=True, cwd=str(REPO))
-    touched = json.loads(tproc.stdout.strip().splitlines()[-1])
+    touched = run_subworker(tcmd, "touched-worker[32]", cleanup=purge_segs)
 
     scaling_raw = {}
     for c in (8, 32):
