@@ -701,26 +701,74 @@ def q_tumbling_window(spark, sf):
     )
 
 
-# ---- crawl-engine plumbing (rows-only; full checks live in tests/) ----------
+# ---- crawl-engine plumbing ---------------------------------------------------
 # The driver records only the FIRST 50 registry entries. As of round 3 the
 # registry holds <= 50 entries total (redundant generic entries were merged —
 # see VERDICT r2 #1), so every operator family has a CORRECTNESS row;
 # tools/check_contract.py asserts the <=50 invariant.
+#
+# These two entries don't read the parquet tables — their input is the
+# deterministic synthetic site (sitegen), which DuckDB can't regenerate (no
+# sha1 in DuckDB 1.0, and href extraction is string parsing). The oracle
+# therefore embeds the PRE-dedup candidate rows as a VALUES literal computed
+# by the pure-Python path (sitegen + urltools — the same code the simulator
+# trusts, cross-checked against the JVM in tests/test_functions.py) and
+# recomputes the operator under test (junk filter + keep-first dedup +
+# renumbering) in SQL. The literal is rebuilt from sitegen at import, so it
+# cannot drift; what the oracle genuinely cross-checks is Python-vs-JVM sha1
+# url ids and SQL-vs-engine dedup/renumber semantics.
 
-def _q_crawl_canonicalize(spark, sf):
-    """F1/F2/F8 + J1 keep-first over a deterministic synthetic SERP batch.
-    Rows-only: the sha1-derived url_id and dedup semantics are verified
-    against the pure-Python simulator in tests/test_crawl_e2e.py."""
+
+def _crawl_canonicalize_rows() -> list[tuple[str, int, int, int, int]]:
+    """(url, url_id, seed_id, page, link_order) for every canonicalized SERP
+    candidate, PRE junk-filter and PRE dedup — shared by the Spark query's
+    input builder and the oracle's VALUES literal."""
     from gsccca_tax_records_scraper_spark import sitegen
     from gsccca_tax_records_scraper_spark.functions import urltools
-    from gsccca_tax_records_scraper_spark.operators.dedup import keep_first_in_batch
 
     rows = []
     for seed_id in range(8):
         for page in range(1, sitegen.n_serp_pages(seed_id) + 1):
             base = sitegen.serp_base_url(seed_id, page)
             for i, raw in enumerate(urltools.extract_raw_hrefs(sitegen.serp_html(seed_id, page))):
-                rows.append((urltools.canonicalize(base, raw), seed_id, page, i))
+                u = urltools.canonicalize(base, raw)
+                rows.append((u, urltools.url_id(u), seed_id, page, i))
+    return rows
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _crawl_canonicalize_sql() -> str:
+    vals = ",\n".join(
+        f"({_sql_str(u)}, {uid}, {s}, {p}, {lo})"
+        for (u, uid, s, p, lo) in _crawl_canonicalize_rows()
+    )
+    # mirrors P2 (maxrows junk filter) + J1 keep-first (partition url_id,
+    # order by crawl_order = (depth=const, seed_id, page, link_order))
+    return f"""
+WITH cand(url, url_id, seed_id, page, link_order) AS (VALUES
+{vals}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url_id ORDER BY seed_id, page, link_order) AS rn
+  FROM cand WHERE NOT contains(lower(url), 'maxrows')
+)
+SELECT url, url_id, seed_id, page, link_order FROM ranked WHERE rn = 1
+"""
+
+
+def _q_crawl_canonicalize(spark, sf):
+    """F1/F2/F8 + J1 keep-first over a deterministic synthetic SERP batch.
+    Full value oracle: the canonicalized candidates are embedded as a VALUES
+    literal (sha1 url_id pinned from the Python side, which
+    tests/test_functions.py proves equal to the JVM's) and the junk filter +
+    keep-first dedup are recomputed in SQL."""
+    from gsccca_tax_records_scraper_spark.functions import urltools
+    from gsccca_tax_records_scraper_spark.operators.dedup import keep_first_in_batch
+
+    rows = [(u, s, p, lo) for (u, _uid, s, p, lo) in _crawl_canonicalize_rows()]
     df = spark.createDataFrame(rows, "url string, seed_id long, page int, link_order int")
     cand = (
         df.filter(~F.lower(F.col("url")).contains("maxrows"))
@@ -738,29 +786,74 @@ def _q_crawl_canonicalize(spark, sf):
     )
 
 
-_REGISTRY["crawl_canonicalize_dedup"] = (_q_crawl_canonicalize, None)
+_REGISTRY["crawl_canonicalize_dedup"] = (_q_crawl_canonicalize, _crawl_canonicalize_sql())
+
+
+_REALESTATE_FORMS = [
+    {"search_name": f"SMITH {i}", "county": str(i % 159 + 1),
+     "party_type": "2", "instrument_type": "1",
+     "from_date": "01/01/2015", "to_date": "12/31/2024"}
+    for i in range(6)
+]
+
+
+def _realestate_raw_rows() -> list[tuple[str, str, int, int]]:
+    """(url, search_name, entity_index, raw_order): every final.asp link of
+    every entity page in document order, PRE dedup — the ordered-dict
+    keep-first and doc_index renumbering stay for the oracle SQL to redo."""
+    from gsccca_tax_records_scraper_spark import sitegen
+    from gsccca_tax_records_scraper_spark.functions import urltools
+
+    rows = []
+    for name in sorted({f["search_name"] for f in _REALESTATE_FORMS}):
+        for entity_idx in range(1, sitegen.n_re_entities(name) + 1):
+            for j, raw in enumerate(
+                urltools.extract_raw_hrefs(sitegen.re_entity_html(name, entity_idx))
+            ):
+                rows.append(
+                    (urltools.canonicalize(sitegen.RE_BASE, raw), name, entity_idx, j)
+                )
+    return rows
+
+
+def _realestate_frontier_sql() -> str:
+    vals = ",\n".join(
+        f"({_sql_str(u)}, {_sql_str(n)}, {e}, {j})"
+        for (u, n, e, j) in _realestate_raw_rows()
+    )
+    # mirrors the reference's ordered-dict per-entity dedup + 1-based
+    # doc_index renumbering (realestate_index_scraper.py:427,474-484)
+    return f"""
+WITH raw(url, search_name, entity_index, raw_order) AS (VALUES
+{vals}
+), firsts AS (
+  SELECT search_name, entity_index, url, MIN(raw_order) AS first_order
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT url, '' AS status, search_name, entity_index,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY search_name, entity_index ORDER BY first_order)
+           AS INT) AS doc_index
+FROM firsts
+"""
 
 
 def _q_realestate_frontier(spark, sf):
     """S1 seed-form schema + the real-estate entity frontier shape
     (url, status, search_name, entity_index, doc_index) with keep-first
-    per-entity dedup (realestate_index_scraper.py:422-490). Rows-only: the
-    generation chain is sha1-derived; schema/order/dedup parity is asserted
-    in tests/test_seedforms.py."""
+    per-entity dedup (realestate_index_scraper.py:422-490). Full value
+    oracle: the raw per-entity link stream is embedded as a VALUES literal
+    and the keep-first dedup + doc_index renumbering are recomputed in SQL;
+    schema/order parity vs the simulator is asserted in
+    tests/test_seedforms.py."""
     from gsccca_tax_records_scraper_spark.sources import seedforms
 
-    forms = [
-        {"search_name": f"SMITH {i}", "county": str(i % 159 + 1),
-         "party_type": "2", "instrument_type": "1",
-         "from_date": "01/01/2015", "to_date": "12/31/2024"}
-        for i in range(6)
-    ]
-    return seedforms.realestate_entity_frontier(spark, forms).orderBy(
+    return seedforms.realestate_entity_frontier(spark, _REALESTATE_FORMS).orderBy(
         "search_name", "entity_index", "doc_index"
     )
 
 
-_REGISTRY["realestate_entity_frontier"] = (_q_realestate_frontier, None)
+_REGISTRY["realestate_entity_frontier"] = (_q_realestate_frontier, _realestate_frontier_sql())
 
 
 # ---- OCR-extraction cascades over synthetic doc text (F5/F6/A2) ------------

@@ -68,9 +68,7 @@ def test_every_query_has_callable_and_oracle_coverage():
     assert not missing
     # the driver records only the first 50 entries — never exceed the window
     assert len(qs) <= 50
-    # rows-only entries are the documented non-SQL-expressible ones
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "crawl_canonicalize_dedup",
-        "realestate_entity_frontier",
-    }
+    # every entry carries a full value oracle (the crawl-plumbing entries
+    # embed their deterministic candidate stream as a VALUES literal and
+    # recompute filter/dedup/renumber in SQL)
+    assert set(qs) == set(oracles)
