@@ -992,8 +992,18 @@ def main() -> None:
                 cmd, capture_output=True, text=True, cwd=str(REPO),
             )
             if proc.returncode == 0:
-                return json.loads(proc.stdout.strip().splitlines()[-1])
-            last_err = proc.stderr[-2000:] if proc.stderr else "(no stderr)"
+                # rc=0 with no parsable JSON line (stdout truncated on OOM,
+                # stray trailing warning) is a worker failure too — retry
+                # instead of dying with IndexError/ValueError
+                try:
+                    return json.loads(proc.stdout.strip().splitlines()[-1])
+                except (IndexError, ValueError):
+                    last_err = (
+                        "rc=0 but stdout had no parsable JSON line; stderr "
+                        "tail:\n" + (proc.stderr[-2000:] if proc.stderr else "(no stderr)")
+                    )
+            else:
+                last_err = proc.stderr[-2000:] if proc.stderr else "(no stderr)"
             print(
                 f"[bench] {what} attempt {attempt + 1} failed "
                 f"(rc={proc.returncode}); stderr tail:\n{last_err}",

@@ -683,8 +683,12 @@ def revoke_seen(
             keep = np.ones(len(seen_ids), dtype=bool)
             keep[del_idx] = False
             seen_ids2, seen_hs2 = seen_ids[keep], seen_hs[keep]
-            old_bloom = seenset.BlockedBloom.from_bytes(s["bloom_b"])
-            bloom = seenset.BlockedBloom(old_bloom.n_blocks)
+            # header-only peek: from_bytes would copy the whole filter
+            # buffer just to read its block count
+            old_n_blocks = int(
+                seenset.BlockedBloom.HEADER.unpack_from(s["bloom_b"])[0]
+            )
+            bloom = seenset.BlockedBloom(old_n_blocks)
             if len(seen_ids2):
                 bloom.insert(seen_ids2.view(np.uint64))
             bloom.n_items = len(seen_ids2)

@@ -27,6 +27,10 @@ def spread_scan(df: DataFrame) -> DataFrame:
     # a mid-plan input at e.g. 200 of 256 partitions keeps its partitioning
     # rather than paying a full shuffle of raw rows for a 28% wave gain.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    nparts = df.rdd.getNumPartitions()
+    # target > nparts: on a 1-2 core session a 1-partition scan is already
+    # as spread as the session can use — repartitioning to <= the same
+    # count would add a full shuffle for zero parallelism gain
+    if nparts < max(2, target // 2) and target > nparts:
         return df.repartition(target)
     return df

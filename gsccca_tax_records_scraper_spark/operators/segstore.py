@@ -170,6 +170,16 @@ def _listdir(root: str) -> list[str]:
         return []
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _delete(root: str, filename: str) -> None:
     if _is_uri(root):
         fs, base = _pafs(root)
@@ -314,4 +324,14 @@ def gc_segments(root: str, referenced: set[str]) -> int:
         if name.endswith(".seg") and name not in referenced:
             _delete(root, name)
             removed += 1
+        elif ".seg.tmp." in name:
+            # a worker killed between the tmp write and os.replace leaves
+            # '<name>.seg.tmp.<pid>' behind; reclaim it once that pid is
+            # gone (tmp names are only ever produced by local-path writes,
+            # so the pid is a same-host process — a live pid may still be
+            # mid-write, leave its file alone)
+            pid_s = name.rsplit(".", 1)[-1]
+            if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+                _delete(root, name)
+                removed += 1
     return removed

@@ -193,13 +193,21 @@ def cosine_neardup_pairs(
 
     stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
     sigs = wide.selectExpr("vec_id", f"stack({n_bands}, {stack}) as (band, bucket)")
-    posts = (
-        sigs.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # bucket-size gate BEFORE the posting-list aggregation: a window count
+    # over the bucket key shares the groupBy's exchange (no extra shuffle)
+    # and drops singleton / over-dense buckets so the collect_list map
+    # never materializes a list the size filter would throw away — the
+    # session's raised object-hash fallback threshold is safe only because
+    # every fat-value aggregation bounds its per-key state up front
+    # (WindowExec buffers spill; ObjectAggregationMap entries don't)
+    wcount = Window.partitionBy("band", "bucket")
+    sigs = sigs.withColumn("__n", F.count("*").over(wcount)).filter(
+        (F.col("__n") >= 2)
+        & ((F.lit(max_bucket).isNull()) | (F.col("__n") <= F.lit(max_bucket)))
     )
-    if max_bucket is not None:
-        posts = posts.filter(F.size("ids") <= max_bucket)
+    posts = sigs.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
     pair = lambda x, y: F.struct(x.alias("a_id"), y.alias("b_id"))  # noqa: E731
     pairs = (
         posts.select(F.explode(_pairs_from_sorted(F.col("ids"), pair)).alias("p"))

@@ -164,17 +164,31 @@ def minhash_signatures(
     return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) as (band, minhash)")
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct doc pairs colliding in at least one (band, minhash) bucket.
     One groupBy on the bucket key builds the (sorted) posting list; pairs are
-    generated JVM-side from it (singleton buckets drop out via the size
-    filter), so the only exchanges are the bucket groupBy and the final
-    distinct — no self-join. A bucket of n docs stores n ids and emits
-    n*(n-1)/2 pairs, which is inherent to LSH candidate generation."""
-    posts = (
-        signatures.groupBy("band", "minhash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+    generated JVM-side from it, so the only exchanges are the bucket groupBy
+    and the final distinct — no self-join. A bucket of n docs stores n ids
+    and emits n*(n-1)/2 pairs, which is inherent to LSH candidate
+    generation; `max_bucket` drops over-dense buckets outright (a bucket
+    that dense is a dup CLUSTER better handled by exact dedup than by its
+    n^2 pairs — set it at production scale). Singleton and over-dense
+    buckets are gated by a window count BEFORE the posting-list
+    aggregation — same exchange, but the collect_list map never
+    materializes a list the gate would throw away (the session's raised
+    object-hash fallback threshold relies on fat-value aggregations
+    bounding per-key state up front; window buffers spill)."""
+    from pyspark.sql import Window
+
+    wcount = Window.partitionBy("band", "minhash")
+    gated = signatures.withColumn("__n", F.count("*").over(wcount)).filter(
+        (F.col("__n") >= 2)
+        & ((F.lit(max_bucket).isNull()) | (F.col("__n") <= F.lit(max_bucket)))
+    )
+    posts = gated.groupBy("band", "minhash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
     pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
     return (

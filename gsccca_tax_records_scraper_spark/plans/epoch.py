@@ -515,6 +515,7 @@ class CrawlEngine:
     def bootstrap(self, seed_ids: list[int]) -> None:
         """Epoch 0: search phase. seeds -> SERP pages -> initial frontier."""
         assert self.store.last_epoch() is None, "workdir already bootstrapped"
+        self.store.clean_epoch(0)  # phantom-delta guard (see step())
         # pin the backend in the manifest so resume adopts it (commits with
         # epoch 0)
         self.store.set_meta("state_backend", self.state_backend)
@@ -551,6 +552,11 @@ class CrawlEngine:
         prev = self.store.last_epoch()
         assert prev is not None, "bootstrap first"
         epoch = prev + 1
+        # drop any table dirs a crashed prior attempt left at this epoch:
+        # ops write different table subsets, so parquet overwrite alone
+        # cannot clear e.g. an aborted revoke's `revoked` dir before a
+        # step commits the same epoch number (phantom-delta guard)
+        self.store.clean_epoch(epoch)
         pending = self.store.read_snapshot(self.spark, "frontier", prev)
         if pending.isEmpty():
             return None
@@ -672,6 +678,7 @@ class CrawlEngine:
         prev = self.store.last_epoch()
         assert prev is not None, "bootstrap first"
         epoch = prev + 1
+        self.store.clean_epoch(epoch)  # phantom-delta guard (see step())
         seen_state = self._read_seen_state(prev)
         assert seen_state is not None
         n_b = self._n_buckets()
@@ -739,6 +746,7 @@ class CrawlEngine:
         prev = self.store.last_epoch()
         assert prev is not None, "bootstrap first"
         epoch = prev + 1
+        self.store.clean_epoch(epoch)  # phantom-delta guard (see step())
         raw = self._serp_raw_candidates(seed_ids)
         # SERP fan-out bound: <= 3 pages x <= 10 links per seed (sitegen)
         new_rows, state, handles = self._admit(
@@ -780,6 +788,7 @@ class CrawlEngine:
         prev = self.store.last_epoch()
         assert prev is not None, "bootstrap first"
         epoch = prev + 1
+        self.store.clean_epoch(epoch)  # phantom-delta guard (see step())
         seen_state = self._read_seen_state(prev)
         assert seen_state is not None
         live = self._latest_state_rows(seen_state)

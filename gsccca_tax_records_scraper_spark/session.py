@@ -58,11 +58,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # collect_list/collect_set aggregations (posting-list pair generation
-        # in textdedup) run as ObjectHashAggregate, whose sort-based fallback
-        # triggers after a mere 128 distinct keys by default — on millions of
-        # shingle keys that degenerates to a full sort (measured 19.5s vs
-        # 7.3s on ngram_overlap_pairs at sf0.1). Raise it; per-key state is
-        # max_df-bounded so the hash map stays small.
+        # in textdedup/similarity) run as ObjectHashAggregate, whose
+        # sort-based fallback triggers after a mere 128 distinct keys by
+        # default — on millions of shingle keys that degenerates to a full
+        # sort (measured 19.5s vs 7.3s on ngram_overlap_pairs at sf0.1).
+        # Raising it removes the memory-bounding fallback SESSION-WIDE, so
+        # the engine's invariant is: every fat-value aggregation bounds its
+        # per-key state BEFORE collecting (ngram: max_df count semi-join;
+        # LSH/cosine buckets: window-count gate; line assembly: line
+        # length) — an unbounded collect_list under this setting would hold
+        # every group's list in the hash map with no spill path.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 22))
         # ParallelGC + a moderate heap: G1 on a huge heap stalls badly with
         # 32 executor threads in one JVM (measured 73s -> 5s on an 8M-row

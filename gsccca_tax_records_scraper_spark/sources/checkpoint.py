@@ -83,6 +83,11 @@ class _PosixFS:
         except FileNotFoundError:
             pass
 
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class _HadoopFS:
     """The same operations through org.apache.hadoop.fs.FileSystem — resolved
@@ -135,6 +140,9 @@ class _HadoopFS:
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._jpath(path), False)
+
+    def delete_dir(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)
 
 
 class CheckpointStore:
@@ -238,6 +246,22 @@ class CheckpointStore:
 
     def table_path(self, table: str, epoch: int) -> str:
         return f"{self.workdir}/{table}/epoch={epoch}"
+
+    def clean_epoch(self, epoch: int) -> None:
+        """Remove every table dir a CRASHED attempt may have left at
+        `epoch`. Ops write different table subsets at the same epoch number
+        (step: records/documents; revoke: revoked; fold/reseed: neither), so
+        a crashed step retried as e.g. a revocation would otherwise leave
+        the aborted fetch's records/documents dirs in place — and
+        read_deltas, which trusts any existing dir at a committed epoch,
+        would surface those phantom rows the moment the replacement op
+        commits the epoch. Called at the START of every epoch-writing op,
+        before its first write; parquet 'overwrite' mode only protects the
+        tables the op itself writes."""
+        for table in SNAPSHOT_TABLES + DELTA_TABLES:
+            p = self.table_path(table, epoch)
+            if self.fs.exists(p):
+                self.fs.delete_dir(p)
 
     def write(self, table: str, epoch: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.table_path(table, epoch))

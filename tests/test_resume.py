@@ -69,3 +69,51 @@ def test_partial_write_ignored(spark, tmp_path):
     eng2 = CrawlEngine(spark, tmp_path / "c", epoch_seconds=60.0)
     assert eng2.store.last_epoch() == last
     assert eng2.step() is not None  # overwrites the junk and carries on
+
+
+def test_crashed_op_leaves_no_phantom_deltas(spark, tmp_path):
+    """Ops write different table subsets at the same epoch number, so a
+    crashed attempt's stray dirs must be purged when a DIFFERENT op later
+    takes that epoch — otherwise read_deltas (which trusts any existing dir
+    at a committed epoch) would surface the aborted attempt's rows.
+
+    Crash A: a step wrote records/epoch=K+1 then died before commit; the
+    operator retries with a revocation at K+1. Crash B: a revocation wrote
+    revoked/epoch=E then died; a plain step commits E."""
+    from pyspark.sql import functions as F
+
+    wd = tmp_path / "ph"
+    eng = CrawlEngine(spark, wd, epoch_seconds=60.0)
+    eng.run(SEEDS)
+    k = eng.store.last_epoch()
+
+    # Crash A: phantom records dir at K+1 (parquet write leaves _SUCCESS)
+    phantom = spark.createDataFrame(
+        [("https://phantom.example/x", k + 1)], "url string, epoch int"
+    )
+    real_cols = eng.records().columns
+    pad = phantom
+    for c in real_cols:
+        if c not in pad.columns:
+            pad = pad.withColumn(c, F.lit(None))
+    eng.store.write("records", k + 1, pad.select(*real_cols))
+    victims = sorted(r.url for r in eng.seen().filter(F.col("epoch") == 0).collect())[:2]
+    res = eng.revoke(victims)
+    assert res["epoch"] == k + 1
+    assert eng.records().filter(F.col("url").contains("phantom")).count() == 0
+
+    # Crash B: phantom revoked dir at the next epoch, then a real step
+    e = eng.store.last_epoch() + 1
+    eng.store.write(
+        "revoked", e,
+        spark.createDataFrame(
+            [(0, 1, "https://phantom.example/y", e)],
+            "host_bucket int, url_id long, url string, epoch int",
+        ),
+    )
+    eng.reseed(SEEDS)  # takes epoch e; must purge the stray revoked dir
+    assert eng.store.last_epoch() == e
+    rv = eng.revoked()
+    assert rv.filter(F.col("url").contains("phantom")).count() == 0
+    # the real revocation lineage from crash A survives
+    assert {r.url for r in rv.collect()} == set(victims)

@@ -220,3 +220,31 @@ def test_gc_preserves_manifest_fallback_view(spark, tmp_path):
 
     sim = simulator.simulate_crawl([1, 2, 3], epoch_seconds=60.0)
     assert {r.url for r in eng2.seen().collect()} == sim.seen_urls
+
+
+def test_gc_reclaims_dead_pid_tmp_files(tmp_path):
+    """A worker killed between the tmp write and os.replace leaves
+    '<name>.seg.tmp.<pid>' behind; GC reclaims it once the pid is dead but
+    never touches a live writer's tmp file."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "segs")
+    ids, hs = _mk_arrays(200, 3)
+    bloom_b, cuckoo_b = dedup._build_run(ids, hs)
+    name = segstore.write_segment(root, 2, 0, bloom_b, cuckoo_b, ids, hs)
+
+    dead = subprocess.run([sys.executable, "-c", "import os; print(os.getpid())"],
+                          capture_output=True, text=True, check=True)
+    dead_pid = int(dead.stdout.strip())
+    orphan_dead = os.path.join(root, f"{name}.tmp.{dead_pid}")
+    orphan_live = os.path.join(root, f"{name}.tmp.{os.getpid()}")
+    for p in (orphan_dead, orphan_live):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+
+    removed = segstore.gc_segments(root, {name})
+    assert removed == 1
+    assert not os.path.exists(orphan_dead)
+    assert os.path.exists(orphan_live)  # live pid: possibly mid-write
+    assert os.path.exists(os.path.join(root, name))  # referenced seg kept
