@@ -70,6 +70,16 @@ MAX_EXTRA_REPS = 4  # settle-gate rep budget per worker
 QUIET_RETRIES = 3  # extra passes per config when every pass saw a busy host
 QUIET_EXT_MAX = 0.05  # external (other tenants + hypervisor steal) CPU frac
 CAL_N = 40_000_000  # sha1 iterations for the pure-CPU calibration
+# calibration-quality gate: hypervisor throttle (steal / turbo clamping)
+# slows the 32-core side while EXTERNAL cpu stays ~0, so the quiet gate
+# cannot see it — but the in-window sha1 calibration can (clean windows on
+# this box scale at ~0.99, throttled ones at 0.6-0.7). When the run's best
+# cross-pass calibration efficiency is below CAL_MIN, take extra
+# alternating pass PAIRS after a wait; the min-merge keeps whichever
+# window was cleanest, so one owned window sets the raw record.
+CAL_MIN = float(os.environ.get("BENCH_CAL_MIN", "0.85"))
+CAL_RETRIES = int(os.environ.get("BENCH_CAL_RETRIES", "2"))
+CAL_WAIT_S = float(os.environ.get("BENCH_CAL_WAIT", "120"))
 
 HEADLINE = [
     "tpch_q1",
@@ -774,7 +784,12 @@ def _write_bench_md(payload: dict) -> None:
         f"> {QUIET_EXT_MAX:.0%} of the machine is re-run up to {QUIET_RETRIES} extra",
         "passes — external = host busy minus the worker's own process-subtree",
         "cpu (incl. hypervisor steal), so the worker's own load cannot trip",
-        "the gate. Per pass:",
+        "the gate. A second, CALIBRATION gate catches what the external-cpu",
+        "gate cannot (hypervisor throttle: steal/turbo clamping slows the",
+        "32-core side while external cpu stays ~0): while the best",
+        f"cross-pass sha1-calibration efficiency is below {CAL_MIN}, up to",
+        f"{CAL_RETRIES} extra pass PAIRS are taken after a {CAL_WAIT_S:.0f}s wait, and the",
+        "min-merge keeps whichever window was cleanest. Per pass:",
         f"8-core busy {payload['scaling']['local8']['host_busy_frac']}"
         f" / external {payload['scaling']['local8']['host_busy_ext_frac']}"
         f" / steal {payload['scaling']['local8']['host_steal_frac']};"
@@ -1034,6 +1049,29 @@ def main() -> None:
         for _retry in range(QUIET_RETRIES):
             if min(r["host_busy_ext_frac"] for r in runs[c]) <= QUIET_EXT_MAX:
                 break
+            runs[c].append(run_worker(c))
+
+    # calibration-quality gate (see CAL_MIN above): retry whole pass pairs
+    # while the best in-window silicon scaling across all passes is below
+    # CAL_MIN — a throttled hypervisor window caps RAW efficiency at the
+    # calibration's own ratio no matter what the engine does, and the
+    # throttle waves on this box outlast a single worker, so the only
+    # remedy is more windows
+    for _retry in range(CAL_RETRIES):
+        best_cal = round(
+            min(r["t_cal_sec"] for r in runs[8])
+            / (4 * min(r["t_cal_sec"] for r in runs[32])), 3,
+        )
+        if best_cal >= CAL_MIN:
+            break
+        print(
+            f"[bench] calibration gate: best cross-pass cal efficiency "
+            f"{best_cal} < {CAL_MIN} (throttled windows); extra pass pair "
+            f"after {CAL_WAIT_S:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(CAL_WAIT_S)
+        for c in (8, 32):
             runs[c].append(run_worker(c))
 
     # O(batch) evidence: per-epoch dedup time vs a growing seen set
