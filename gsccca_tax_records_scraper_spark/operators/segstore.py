@@ -51,8 +51,10 @@ from __future__ import annotations
 
 import hashlib
 import os
+import socket
 import struct
 import threading
+import time
 from collections import OrderedDict
 
 import numpy as np
@@ -144,14 +146,24 @@ def _write_bytes_once(root: str, filename: str, data: bytes) -> None:
         info = fs.get_file_info([target])[0]
         if info.type != pafs.FileType.NotFound:
             return
-        with fs.open_output_stream(target) as f:
-            f.write(data)
+        try:
+            with fs.open_output_stream(target) as f:
+                f.write(data)
+        except OSError:
+            # the memoized "dir exists" fact can go stale (workdir removed
+            # and recreated under a surviving worker): re-create and retry
+            # once before surfacing the error
+            _DIRS_MADE.discard(root)
+            fs.create_dir(base, recursive=True)
+            _DIRS_MADE.add(root)
+            with fs.open_output_stream(target) as f:
+                f.write(data)
         return
     os.makedirs(root, exist_ok=True)
     target = os.path.join(root, filename)
     if os.path.exists(target):
         return
-    tmp = f"{target}.tmp.{os.getpid()}"
+    tmp = f"{target}.tmp.{os.getpid()}@{socket.gethostname()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, target)
@@ -312,6 +324,37 @@ def read_segment(root: str, filename: str) -> tuple[bytes, bytes, np.ndarray, np
     return bloom_b, cuckoo_b, ids, hs
 
 
+def _tmp_grace_sec() -> float:
+    return float(os.environ.get("SPARK_GRAFT_SEG_TMP_GRACE_SEC", "3600"))
+
+
+def _tmp_reclaimable(root: str, name: str) -> bool:
+    """Whether an orphaned '<seg>.tmp.<pid>@<host>' file is safe to delete.
+    Tmp names are only produced by plain-path writes, but a plain path may
+    be a SHARED mount (NFS) visible from several hosts, so a pid probe is
+    only meaningful when the writer's recorded host is this host. Rules:
+      - same host: writer pid dead -> reclaim now; pid alive -> reclaim
+        only past the grace age (a real writer finishes in seconds — an old
+        file under a live pid is pid REUSE, not a live writer);
+      - other host (or legacy pid-only name from another host's old code):
+        no pid table to consult -> reclaim past the grace age only.
+    The grace window (SPARK_GRAFT_SEG_TMP_GRACE_SEC, default 1h) bounds the
+    orphan's lifetime without ever racing an in-flight writer."""
+    suffix = name.split(".seg.tmp.", 1)[1]
+    pid_s, _, host = suffix.partition("@")
+    if not pid_s.isdigit():
+        return False
+    try:
+        age = time.time() - os.stat(os.path.join(root, name)).st_mtime
+    except OSError:
+        return False  # raced the writer's own os.replace — gone already
+    if age > _tmp_grace_sec():
+        return True
+    # within grace: only a same-host dead pid is provably abandoned
+    same_host = (host == socket.gethostname()) if host else True
+    return same_host and not _pid_alive(int(pid_s))
+
+
 def gc_segments(root: str, referenced: set[str]) -> int:
     """Delete stored segments no committed metadata references; returns the
     number removed. Run AFTER a manifest commit, with `referenced` = every
@@ -326,12 +369,9 @@ def gc_segments(root: str, referenced: set[str]) -> int:
             removed += 1
         elif ".seg.tmp." in name:
             # a worker killed between the tmp write and os.replace leaves
-            # '<name>.seg.tmp.<pid>' behind; reclaim it once that pid is
-            # gone (tmp names are only ever produced by local-path writes,
-            # so the pid is a same-host process — a live pid may still be
-            # mid-write, leave its file alone)
-            pid_s = name.rsplit(".", 1)[-1]
-            if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+            # '<name>.seg.tmp.<pid>@<host>' behind; _tmp_reclaimable
+            # decides via pid probe (same host) or grace age (shared mount)
+            if _tmp_reclaimable(root, name):
                 _delete(root, name)
                 removed += 1
     return removed

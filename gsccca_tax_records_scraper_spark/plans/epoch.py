@@ -475,6 +475,7 @@ class CrawlEngine:
         from ..operators import segstore
 
         referenced: set[str] = set()
+        views = 0
         for m in self.store.manifests():
             epochs = m.get("epochs") or []
             if not epochs:
@@ -483,8 +484,20 @@ class CrawlEngine:
                 self.spark, "seen_state", max(epochs), manifest=m
             )
             if df is None:
-                continue
+                # the manifest names committed epochs but none of the
+                # seen_state dirs it points at are readable right now
+                # (flaky mount, torn object-store read): the referenced
+                # set would be INCOMPLETE, and GC with an incomplete set
+                # deletes live payloads — skip this cadence entirely;
+                # orphans just wait for the next compaction commit
+                return 0
+            views += 1
             referenced |= {r[0] for r in df.select("file").distinct().collect()}
+        if views == 0:
+            # no readable committed view at all (e.g. every retained
+            # manifest read failed transiently): never treat that as
+            # "nothing is referenced"
+            return 0
         return segstore.gc_segments(self._seg_root, referenced)
 
     # ------------------------------------------------------------ phases

@@ -178,6 +178,18 @@ class CheckpointStore:
                 out.append(int(m.group(1)))
         return sorted(out, reverse=True)
 
+    def _read_manifest_file(self, path: str) -> dict | None:
+        """Parse one manifest file; None when unreadable/torn (the ONE
+        shared read path, so every caller sees identical fallback and
+        default-key semantics)."""
+        try:
+            m = json.loads(self.fs.read_text(path))
+        except (ValueError, OSError):
+            return None
+        m.setdefault("compacted", {})
+        m.setdefault("meta", {})
+        return m
+
     def _manifest(self) -> dict:
         """Highest READABLE versioned manifest; a torn/corrupt higher
         version (crash mid-create on a store without atomic rename) falls
@@ -185,21 +197,13 @@ class CheckpointStore:
         without a manifest. Legacy single-file MANIFEST.json is read only
         when no versioned manifest exists (pre-versioning workdirs)."""
         for v in self._manifest_versions():
-            try:
-                m = json.loads(self.fs.read_text(self.manifest_path(v)))
-            except (ValueError, OSError):
-                continue
-            m.setdefault("compacted", {})
-            m.setdefault("meta", {})
-            return m
-        if self.fs.exists(self.legacy_manifest_path):
-            try:
-                m = json.loads(self.fs.read_text(self.legacy_manifest_path))
-                m.setdefault("compacted", {})
-                m.setdefault("meta", {})
+            m = self._read_manifest_file(self.manifest_path(v))
+            if m is not None:
                 return m
-            except (ValueError, OSError):
-                pass
+        if self.fs.exists(self.legacy_manifest_path):
+            m = self._read_manifest_file(self.legacy_manifest_path)
+            if m is not None:
+                return m
         return {"epochs": [], "compacted": {}, "meta": {}}
 
     def manifests(self) -> list[dict]:
@@ -211,21 +215,13 @@ class CheckpointStore:
         payload file."""
         out = []
         for v in self._manifest_versions():
-            try:
-                m = json.loads(self.fs.read_text(self.manifest_path(v)))
-            except (ValueError, OSError):
-                continue
-            m.setdefault("compacted", {})
-            m.setdefault("meta", {})
-            out.append(m)
-        if not out and self.fs.exists(self.legacy_manifest_path):
-            try:
-                m = json.loads(self.fs.read_text(self.legacy_manifest_path))
-                m.setdefault("compacted", {})
-                m.setdefault("meta", {})
+            m = self._read_manifest_file(self.manifest_path(v))
+            if m is not None:
                 out.append(m)
-            except (ValueError, OSError):
-                pass
+        if not out and self.fs.exists(self.legacy_manifest_path):
+            m = self._read_manifest_file(self.legacy_manifest_path)
+            if m is not None:
+                out.append(m)
         return out
 
     def committed_epochs(self) -> list[int]:

@@ -248,3 +248,70 @@ def test_gc_reclaims_dead_pid_tmp_files(tmp_path):
     assert not os.path.exists(orphan_dead)
     assert os.path.exists(orphan_live)  # live pid: possibly mid-write
     assert os.path.exists(os.path.join(root, name))  # referenced seg kept
+
+
+def test_gc_tmp_cross_host_grace(tmp_path):
+    """Tmp files tagged with ANOTHER host's name (shared-NFS writer on a
+    different box) have no pid table to consult here: kept while fresh,
+    reclaimed past the grace age. A same-host file whose pid is alive but
+    whose mtime is past the grace age is pid REUSE (a real writer finishes
+    in seconds), not a live writer, and is reclaimed too."""
+    import socket
+    import time
+
+    root = str(tmp_path / "segs")
+    os.makedirs(root)
+    fresh_remote = os.path.join(root, "b00001-s000000-aaaa.seg.tmp.1@elsewhere")
+    old_remote = os.path.join(root, "b00001-s000001-bbbb.seg.tmp.1@elsewhere")
+    old_local_live = os.path.join(
+        root, f"b00001-s000002-cccc.seg.tmp.{os.getpid()}@{socket.gethostname()}"
+    )
+    for p in (fresh_remote, old_remote, old_local_live):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    past = time.time() - 2 * segstore._tmp_grace_sec()
+    os.utime(old_remote, (past, past))
+    os.utime(old_local_live, (past, past))
+    removed = segstore.gc_segments(root, set())
+    assert removed == 2
+    assert os.path.exists(fresh_remote)  # possibly mid-write on the other host
+    assert not os.path.exists(old_remote)  # abandoned: past grace
+    assert not os.path.exists(old_local_live)  # live pid + old file = pid reuse
+
+
+def test_gc_skips_when_state_view_unreadable(spark, tmp_path, monkeypatch):
+    """A committed manifest whose seen_state view cannot be read right now
+    (flaky mount, torn object-store read) means the referenced set would be
+    INCOMPLETE — GC must delete NOTHING rather than reclaim live payloads."""
+    wd = tmp_path / "crawl"
+    eng = CrawlEngine(spark, wd, epoch_seconds=60.0)
+    eng.run(seed_ids=[1], max_epochs=1)
+    seg_dir = str(wd / "segments")
+    before = set(os.listdir(seg_dir))
+    assert any(f.endswith(".seg") for f in before)
+    monkeypatch.setattr(eng.store, "read_deltas", lambda *a, **k: None)
+    assert eng._gc_segments() == 0
+    assert set(os.listdir(seg_dir)) == before
+    # no readable manifest at all: likewise a no-op, never "delete all"
+    monkeypatch.setattr(eng.store, "manifests", lambda: [])
+    assert eng._gc_segments() == 0
+    assert set(os.listdir(seg_dir)) == before
+
+
+def test_uri_write_recreates_removed_root(tmp_path):
+    """The per-process 'dir already created' memo goes stale when the root
+    is removed and recreated under a surviving worker; the write path must
+    re-create the directory and retry instead of failing the epoch."""
+    import shutil
+
+    root = f"file://{tmp_path}/segs"
+    ids, hs = _mk_arrays(100, 11)
+    bloom_b, cuckoo_b = dedup._build_run(ids, hs)
+    segstore.write_segment(root, 1, 0, bloom_b, cuckoo_b, ids, hs)
+    shutil.rmtree(tmp_path / "segs")
+    ids2, hs2 = _mk_arrays(100, 12)
+    bloom2, cuckoo2 = dedup._build_run(ids2, hs2)
+    name2 = segstore.write_segment(root, 1, 1, bloom2, cuckoo2, ids2, hs2)
+    segstore.clear_cache()
+    _b, _c, i2, _h = segstore.read_segment(root, name2)
+    assert (i2 == ids2).all()
