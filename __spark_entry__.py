@@ -19,7 +19,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from gsccca_tax_records_scraper_spark.operators import multimodal, similarity, textdedup, textstats
+from gsccca_tax_records_scraper_spark.operators import (
+    components,
+    multimodal,
+    similarity,
+    textdedup,
+    textstats,
+)
 from gsccca_tax_records_scraper_spark.operators.textstats import (
     BPE_TOKEN_PATTERN,
     CJK_PATTERN,
@@ -1154,17 +1160,49 @@ def q_ngram_pairs(spark, sf):
     return textdedup.ngram_overlap_pairs(_t(spark, sf, "documents"), min_common=5)
 
 
-@_q(
-    "minhash_lsh_pairs",
-    "WITH ex AS (SELECT doc_id, unnest(" + _SHINGLES_SQL + ") AS sh FROM documents),"
+# the minhash CTE list + pair select are shared by minhash_lsh_pairs and
+# dup_clusters (the clusters query runs connected components over exactly
+# this pair graph, so its oracle must rebuild the same edges)
+_MINHASH_CTES = (
+    "ex AS (SELECT doc_id, unnest(" + _SHINGLES_SQL + ") AS sh FROM documents),"
     " sig AS (SELECT doc_id, band, min(md5(sh || '#' || band)) AS minhash"
     "   FROM ex, (SELECT unnest(generate_series(0, 3)) AS band) GROUP BY doc_id, band)"
-    " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
-    " ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id",
 )
+_MINHASH_PAIRS_SELECT = (
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+    " ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id"
+)
+
+
+@_q("minhash_lsh_pairs", "WITH " + _MINHASH_CTES + " " + _MINHASH_PAIRS_SELECT)
 def q_minhash_pairs(spark, sf):
     sigs = textdedup.minhash_signatures(_t(spark, sf, "documents"), n_bands=4)
     return textdedup.lsh_candidate_pairs(sigs)
+
+
+@_q(
+    "dup_clusters",
+    # duplicate-cluster resolution: connected components over the minhash
+    # pair graph, cluster_id = component-min doc_id (the canonical keep).
+    # The oracle's recursive CTE floods every node's id along the
+    # symmetrized edges; min over the flooded labels per node is the
+    # component minimum — UNION (set) semantics bounds the recursion.
+    "WITH RECURSIVE " + _MINHASH_CTES + ","
+    " pairs AS (" + _MINHASH_PAIRS_SELECT + "),"
+    " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " reach(node, lbl) AS ("
+    "   SELECT u, u FROM edges"
+    "   UNION"
+    "   SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),"
+    " comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)"
+    " SELECT node AS doc_id, cluster_id,"
+    " count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM comp",
+)
+def q_dup_clusters(spark, sf):
+    sigs = textdedup.minhash_signatures(_t(spark, sf, "documents"), n_bands=4)
+    pairs = textdedup.lsh_candidate_pairs(sigs)
+    return components.dup_clusters(pairs)
 
 
 @_q(
@@ -1175,17 +1213,11 @@ def q_simhash(spark, sf):
     return textdedup.simhash_fingerprints(_t(spark, sf, "documents"), bits=SIMHASH_BITS)
 
 
-@_q(
-    "simhash_hamming_hist",
-    _SIMHASH_CTE
-    + " SELECT hd, count(*) AS n_pairs FROM ("
-    "   SELECT bit_count(xor(a.simhash, b.simhash)) AS hd FROM fp a"
-    "   JOIN fp b ON a.doc_id < b.doc_id) WHERE hd <= 2 GROUP BY hd",
-)
-def q_simhash_hist(spark, sf):
-    fps = textdedup.simhash_fingerprints(_t(spark, sf, "documents"), bits=SIMHASH_BITS)
-    pairs = textdedup.simhash_near_pairs(fps, max_hamming=2, bits=SIMHASH_BITS)
-    return pairs.groupBy(F.col("hamming").alias("hd")).agg(F.count("*").alias("n_pairs"))
+# simhash near-pairs (pigeonhole banding) keeps pytest coverage: the
+# banded pair set is asserted EQUAL to the brute-force all-pairs hamming
+# filter in tests/test_components.py, which is strictly stronger than the
+# histogram oracle this slot used to carry (displaced by dup_clusters —
+# registry stays at the driver's 50-entry window).
 
 
 # ---- training-data pipeline: similarity search ------------------------------

@@ -107,7 +107,11 @@ def test_global_topk_is_take_ordered(spark, sf01):
 def test_simhash_near_pairs_not_cartesian(spark, sf01):
     """the banded simhash join must be a hash equi-join on (band, value) —
     no cartesian/nested-loop theta join (the O(N^2) scale-killer)."""
-    df = entrymod.queries()["simhash_hamming_hist"](spark, sf01)
+    from gsccca_tax_records_scraper_spark.operators import textdedup
+
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    fps = textdedup.simhash_fingerprints(docs, bits=16)
+    df = textdedup.simhash_near_pairs(fps, max_hamming=2, bits=16)
     plan = explain(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
