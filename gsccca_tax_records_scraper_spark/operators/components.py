@@ -89,8 +89,9 @@ def connected_components(
     unlikely false stop; this implementation keeps the exact probe
     because its cost is a fraction of the round it guards."""
     # nodes comes from `pairs`, NOT from the checkpointed edge frame: the
-    # loop unpersists superseded edge checkpoints, and a localCheckpoint's
-    # truncated lineage cannot recompute after its blocks are dropped
+    # loop drops its reference to each superseded edge checkpoint (the
+    # ContextCleaner reaps the blocks once the RDD is unreferenced), and a
+    # localCheckpoint's truncated lineage cannot recompute after that
     nodes = (
         pairs.select(F.col(a_col).alias("u"))
         .unionByName(pairs.select(F.col(b_col).alias("u")))
@@ -105,7 +106,10 @@ def connected_components(
     for _ in range(MAX_ROUNDS):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         converged = e2.exceptAll(e).unionByName(e.exceptAll(e2)).isEmpty()
-        e.unpersist()  # e2 is already materialized; nothing reads e again
+        # e2 is eagerly materialized, so nothing reads e again: rebinding
+        # drops the old checkpoint's last reference and the ContextCleaner
+        # reclaims its blocks (df.unpersist() would be a no-op here — the
+        # blocks belong to the checkpoint RDD, not the query cache)
         e = e2
         if converged:
             break
