@@ -49,8 +49,8 @@ MAX_ROUNDS = 64
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges -> for every node u: attach each neighbor v > u to
-    m(u) = min(neighbors + self). Emitted edges always point DOWNWARD
-    (u > v), so the u != v filter also drops self-loops."""
+    m(u) = min(neighbors + self). Emitted edges always point STRICTLY
+    downward (__m <= u < v), so no self-loop can appear."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
     m = m.select("u", F.least("u", "__mn").alias("__m"))
@@ -58,7 +58,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
@@ -88,14 +87,16 @@ def connected_components(
     avoids the probe's extra join at the cost of an astronomically
     unlikely false stop; this implementation keeps the exact probe
     because its cost is a fraction of the round it guards."""
-    # nodes comes from `pairs`, NOT from the checkpointed edge frame: the
-    # loop drops its reference to each superseded edge checkpoint (the
-    # ContextCleaner reaps the blocks once the RDD is unreferenced), and a
-    # localCheckpoint's truncated lineage cannot recompute after that
+    # nodes comes from `pairs`, NOT from the checkpointed edge frame (the
+    # edge frame drops self-pair-only nodes, and the loop's superseded
+    # checkpoints cannot recompute once the ContextCleaner reaps their
+    # blocks), and is checkpointed itself so the final left join does not
+    # re-execute the entire upstream pair-generation lineage a second time
     nodes = (
         pairs.select(F.col(a_col).alias("u"))
         .unionByName(pairs.select(F.col(b_col).alias("u")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
