@@ -1,0 +1,215 @@
+"""Dependency-free AVI (RIFF) video container codec: MJPG and uncompressed
+DIB streams — the two video shapes decodable without an external codec
+library (MJPG frames are baseline/progressive JPEG, handled by the
+from-scratch T.81 implementation in `operators/jpegcodec`; DIB frames are
+BMP-style rasters). Closes the video half of the multimodal plumbing
+(SURVEY §2 "multimodal columns"; the reference's media artifacts are
+PNG->PDF, lien_index_scraper.py:687-708 — video has no reference analog,
+so this is a training-data-pipeline capability, like frame sampling for
+vision-model corpora).
+
+Container layout implemented from the public AVI RIFF spec (MSDN
+"AVI RIFF File Reference"):
+
+  RIFF('AVI '
+    LIST('hdrl'
+      'avih'(MainAVIHeader: 14 DWORDs — usec/frame, max bytes/sec,
+             padding, flags, total frames, initial frames, streams,
+             suggested buffer, width, height, reserved[4])
+      LIST('strl'
+        'strh'(AVIStreamHeader: fccType 'vids', fccHandler, flags,
+               priority, initial frames, scale, rate, start, length,
+               suggested buffer, quality, sample size, rcFrame)
+        'strf'(BITMAPINFOHEADER: 40 bytes, biCompression = 'MJPG'
+               fourcc or 0 for DIB)))
+    LIST('movi' '00dc'/'00db' frame chunks, word-aligned)
+    'idx1'(AVIOLDINDEX entries: ckid, flags, offset, length))
+
+Decoder scope: single 'vids' stream, MJPG or uncompressed 24bpp DIB
+frames. Other handlers (H.264/cinepak/...) raise UnsupportedMediaError —
+the honest gate, same policy as arithmetic-coded JPEG.
+
+Frame rate is carried twice, as the spec does: avih.dwMicroSecPerFrame
+and strh (dwScale, dwRate) with fps = rate/scale; the reader prefers the
+stream header and falls back to the main header.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .mediacodec import UnsupportedMediaError
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def _dib_frame(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> bottom-up BGR raster, rows padded to 4 bytes
+    (the BMP/DIB convention, mediacodec.encode_bmp:331)."""
+    h, w, _ = frame.shape
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _undib_frame(body: bytes, w: int, h: int) -> np.ndarray:
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(body, dtype=np.uint8, count=row_size * h).reshape(h, row_size)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+
+
+def encode_avi(
+    frames: list[np.ndarray], fps: int = 10, codec: str = "MJPG", quality: int = 90
+) -> bytes:
+    """(h, w, 3) uint8 RGB frames -> AVI blob. codec='MJPG' entropy-codes
+    each frame as baseline JPEG (lossy, jpegcodec.encode_jpeg); codec='DIB'
+    stores raw rasters (lossless). All frames must share one geometry."""
+    assert frames and fps > 0
+    h, w, c = frames[0].shape
+    assert c == 3 and all(f.shape == (h, w, 3) and f.dtype == np.uint8 for f in frames)
+    if codec == "MJPG":
+        from . import jpegcodec
+
+        handler, compression = b"MJPG", struct.unpack("<I", b"MJPG")[0]
+        payloads = [jpegcodec.encode_jpeg(f, quality=quality) for f in frames]
+        ckid = b"00dc"
+    elif codec == "DIB":
+        handler, compression = b"DIB ", 0
+        payloads = [_dib_frame(f) for f in frames]
+        ckid = b"00db"
+    else:
+        raise ValueError(f"codec {codec!r}: MJPG or DIB")
+    max_payload = max(len(p) for p in payloads)
+
+    avih = struct.pack(
+        "<10I4I",
+        round(1_000_000 / fps), max_payload * fps, 0, _AVIF_HASINDEX,
+        len(frames), 0, 1, max_payload, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4h",
+        b"vids", handler, 0, 0, 0,
+        1, fps,  # dwScale, dwRate: fps = rate/scale
+        0, len(frames), max_payload, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        max_payload if codec == "MJPG" else ((w * 3 + 3) & ~3) * h,
+        0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl", _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    )
+    # idx1 offsets are relative to the 'movi' fourcc position (the
+    # spec-common convention: offset of the frame's ckid minus fourcc pos)
+    movi_body, idx_entries, off = b"", b"", 4
+    for p in payloads:
+        idx_entries += struct.pack("<4sIII", ckid, _AVIIF_KEYFRAME, off, len(p))
+        piece = _chunk(ckid, p)
+        movi_body += piece
+        off += len(piece)
+    body = hdrl + _list(b"movi", movi_body) + _chunk(b"idx1", idx_entries)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _walk_chunks(blob: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        yield cid, pos + 8, min(pos + 8 + size, end)
+        pos += 8 + size + (size & 1)
+
+
+def parse_avi(blob: bytes) -> dict:
+    """Container metadata + raw frame payloads, no frame decode: width,
+    height, fps, n_frames, handler, frames (list of chunk payload bytes).
+    Cheap enough for the header-only feature path; frame decode is
+    separate (`decode_avi_frames`)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI")
+    meta: dict = {"handler": b"", "compression": 0, "frames": []}
+    fps_main = fps_stream = 0.0
+    for cid, a, b in _walk_chunks(blob, 12, len(blob)):
+        if cid != b"LIST":
+            continue
+        ltype = blob[a : a + 4]
+        if ltype == b"hdrl":
+            for cid2, a2, b2 in _walk_chunks(blob, a + 4, b):
+                if cid2 == b"avih" and b2 - a2 >= 40:
+                    usec, _mb, _pad, _fl, total, _init, _ns, _buf, w, h = (
+                        struct.unpack_from("<10I", blob, a2)
+                    )
+                    meta.update(width=int(w), height=int(h), n_frames=int(total))
+                    fps_main = 1_000_000.0 / usec if usec else 0.0
+                elif cid2 == b"LIST" and blob[a2 : a2 + 4] == b"strl":
+                    for cid3, a3, b3 in _walk_chunks(blob, a2 + 4, b2):
+                        if cid3 == b"strh" and b3 - a3 >= 48:
+                            fcc_type, handler = struct.unpack_from("<4s4s", blob, a3)
+                            scale, rate = struct.unpack_from("<II", blob, a3 + 20)
+                            if fcc_type == b"vids":
+                                meta["handler"] = handler
+                                fps_stream = rate / scale if scale else 0.0
+                        elif cid3 == b"strf" and b3 - a3 >= 40:
+                            meta["compression"] = struct.unpack_from("<I", blob, a3 + 16)[0]
+        elif ltype == b"movi":
+            for cid2, a2, b2 in _walk_chunks(blob, a + 4, b):
+                if cid2[2:4] in (b"dc", b"db"):
+                    meta["frames"].append(blob[a2:b2])
+    if "width" not in meta:
+        raise UnsupportedMediaError("AVI without avih header")
+    meta["fps"] = fps_stream or fps_main
+    meta["n_frames"] = meta.get("n_frames") or len(meta["frames"])
+    return meta
+
+
+def _decode_one(meta: dict, payload: bytes) -> np.ndarray:
+    handler = meta["handler"].upper()
+    if handler == b"MJPG" or meta["compression"] == struct.unpack("<I", b"MJPG")[0]:
+        from . import jpegcodec
+
+        return jpegcodec.decode_jpeg(payload)
+    if handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00") and meta["compression"] == 0:
+        return _undib_frame(payload, meta["width"], meta["height"])
+    raise UnsupportedMediaError(f"AVI handler {handler!r} needs a codec library")
+
+
+def decode_avi_frames(blob: bytes, indices: list[int] | None = None):
+    """Yield (frame_index, (h, w, 3) uint8 RGB) for the requested frame
+    indices (all frames when None). Only the requested frames are decoded —
+    the sampling path pays per SAMPLED frame, not per stored frame."""
+    meta = parse_avi(blob)
+    want = set(indices) if indices is not None else None
+    for i, payload in enumerate(meta["frames"]):
+        if want is not None and i not in want:
+            continue
+        yield i, _decode_one(meta, payload)
+
+
+def video_features(blob: bytes) -> dict:
+    """Header-level features + a genuine first-frame decode (the cheap
+    evidence the stream is actually decodable, not just well-formed)."""
+    meta = parse_avi(blob)
+    fps = meta["fps"]
+    n = len(meta["frames"])
+    first = _decode_one(meta, meta["frames"][0]) if n else None
+    return {
+        "width": int(meta["width"]),
+        "height": int(meta["height"]),
+        "channels": 3 if first is not None else 0,
+        "sample_rate": int(round(fps)),  # frames/sec in the audio slot
+        "duration_ms": int(round(n * 1000.0 / fps)) if fps else 0,
+        "mean_value": float(first.mean()) if first is not None else 0.0,
+    }

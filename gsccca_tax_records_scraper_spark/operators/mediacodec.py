@@ -57,6 +57,8 @@ def sniff(blob: bytes) -> str:
         return "image/bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "audio/wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "video/x-msvideo"
     return "application/octet-stream"
 
 

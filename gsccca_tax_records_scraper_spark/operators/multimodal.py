@@ -19,10 +19,15 @@ Two decode tiers:
     ITU-T T.81 in `operators/jpegcodec` — grayscale/4:4:4/4:2:2/4:2:0,
     baseline AND progressive; validated against hand-assembled spec
     fixtures);
-  - remaining formats (arithmetic-coded JPEG, MP4/video) keep the honest
-    gate: `extract_media_features_real` marks one decoded=False, the
-    PIL-backed `real_decode=True` path raises NotImplementedError in this
-    container, and the md5-derived deterministic stub keeps the
+  - REAL decode for VIDEO in the two codec-free container shapes: AVI
+    with MJPG (frames are T.81 JPEG -> jpegcodec) or uncompressed DIB
+    streams (`operators/avicodec`) — header features + first-frame decode
+    in `extract_media_features_real`, per-frame sampling in
+    `sample_video_frames` (decode cost paid per SAMPLED frame only);
+  - remaining formats (arithmetic-coded JPEG, MP4/H.264/...) keep the
+    honest gate: `extract_media_features_real` marks them decoded=False,
+    the PIL-backed `real_decode=True` path raises NotImplementedError in
+    this container, and the md5-derived deterministic stub keeps the
     contract-checked schema/batch plumbing exercised either way.
 """
 
@@ -196,6 +201,14 @@ def _real_features_one(blob: bytes) -> dict:
         elif mime == "audio/wav":
             out.update(mediacodec.audio_features(*mediacodec.decode_wav(blob)))
             out["decoded"] = True
+        elif mime == "video/x-msvideo":
+            from . import avicodec
+
+            # MJPG / uncompressed-DIB AVI (operators/avicodec): header
+            # geometry + duration, plus a genuine first-frame decode;
+            # sample_rate carries fps for video rows
+            out.update(avicodec.video_features(blob))
+            out["decoded"] = True
     except (mediacodec.UnsupportedMediaError, ValueError, IndexError,
             KeyError, _struct.error, _zlib.error):
         # unsupported variant OR truncated/corrupt crawled blob — a bad
@@ -276,6 +289,60 @@ def pdf_pages_table(media: DataFrame) -> DataFrame:
             )
 
     return spread_scan(media).mapInPandas(run, PDF_PAGE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, media_ref string, frame_index int, t_ms int, "
+    "width int, height int, channels int, mean_value double, frame_png binary"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """Frame sampling over video blobs (the vision-corpus building block):
+    one row per SAMPLED frame — every_n-th frame, capped at max_frames per
+    video — with decoded geometry, mean pixel value, timestamp, and the
+    frame re-encoded as PNG. Only sampled frames are entropy-decoded
+    (avicodec.decode_avi_frames takes the index set), so the cost is
+    O(sampled), not O(stored) — the property that matters when sampling
+    1 fps from 30 fps corpora at scale. Non-video and codec-gated blobs
+    (H.264/...) contribute no rows — a derived view, like pdf_pages_table.
+    Container scope: AVI with MJPG or uncompressed DIB streams."""
+    assert every_n >= 1
+
+    def run(it):
+        from . import avicodec
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]):
+                blob = bytes(blob)
+                if mediacodec.sniff(blob) != "video/x-msvideo":
+                    continue
+                try:
+                    meta = avicodec.parse_avi(blob)
+                    n = len(meta["frames"])
+                    idx = list(range(0, n, every_n))[:max_frames]
+                    fps = meta["fps"] or 1.0
+                    for i, px in avicodec.decode_avi_frames(blob, idx):
+                        rows.append(
+                            (doc_id, ref, i, int(round(i * 1000.0 / fps)),
+                             px.shape[1], px.shape[0], px.shape[2],
+                             float(px.mean()), mediacodec.encode_png(px))
+                        )
+                except (mediacodec.UnsupportedMediaError, ValueError,
+                        IndexError, KeyError, _struct.error, _zlib.error):
+                    continue  # gated codec or truncated/corrupt crawled blob
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "frame_index", "t_ms", "width",
+                         "height", "channels", "mean_value", "frame_png"],
+            )
+
+    return spread_scan(media).mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 def thumbnail_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:

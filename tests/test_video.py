@@ -1,0 +1,138 @@
+"""AVI container codec (operators/avicodec) + video frame sampling
+(multimodal.sample_video_frames): DIB round-trips losslessly, MJPG frames
+ride the from-scratch T.81 decoder, sampling decodes only the sampled
+frames, and gated codecs / corrupt blobs degrade per-row, never per-task."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gsccca_tax_records_scraper_spark.operators import avicodec, mediacodec, multimodal
+
+RNG = np.random.default_rng(1234)
+
+
+def _frames(n: int, h: int = 24, w: int = 34) -> list[np.ndarray]:
+    return [RNG.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_dib_roundtrip_exact():
+    frames = _frames(5)
+    blob = avicodec.encode_avi(frames, fps=12, codec="DIB")
+    assert mediacodec.sniff(blob) == "video/x-msvideo"
+    meta = avicodec.parse_avi(blob)
+    assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (34, 24, 12.0, 5)
+    for i, px in avicodec.decode_avi_frames(blob):
+        assert (px == frames[i]).all()
+
+
+def test_mjpg_frames_decode_via_jpegcodec():
+    # smooth frames: DC-dominated blocks survive quantization ~exactly
+    frames = [np.full((16, 16, 3), 40 + 30 * i, dtype=np.uint8) for i in range(4)]
+    blob = avicodec.encode_avi(frames, fps=10, codec="MJPG", quality=95)
+    meta = avicodec.parse_avi(blob)
+    assert meta["handler"] == b"MJPG" and len(meta["frames"]) == 4
+    for i, px in avicodec.decode_avi_frames(blob):
+        assert np.abs(px.astype(int) - frames[i].astype(int)).max() <= 3
+
+
+def test_sampling_decodes_only_requested_indices():
+    frames = _frames(10)
+    blob = avicodec.encode_avi(frames, fps=5, codec="DIB")
+    got = dict(avicodec.decode_avi_frames(blob, [0, 3, 9]))
+    assert sorted(got) == [0, 3, 9]
+    for i, px in got.items():
+        assert (px == frames[i]).all()
+
+
+def test_video_features_header_plus_first_frame():
+    frames = [np.full((8, 12, 3), 77, dtype=np.uint8)] + _frames(9, 8, 12)
+    blob = avicodec.encode_avi(frames, fps=20, codec="DIB")
+    f = avicodec.video_features(blob)
+    assert (f["width"], f["height"], f["channels"]) == (12, 8, 3)
+    assert f["sample_rate"] == 20  # fps rides the audio slot
+    assert f["duration_ms"] == 500  # 10 frames @ 20 fps
+    assert f["mean_value"] == 77.0
+
+
+def test_gated_handler_and_corrupt_blob():
+    blob = avicodec.encode_avi(_frames(2), fps=10, codec="DIB")
+    bad = bytearray(blob)
+    h = blob.find(b"vids") + 4
+    bad[h : h + 4] = b"H264"
+    c = blob.find(b"strf") + 8 + 16
+    bad[c : c + 4] = struct.pack("<I", 0x34363248)
+    with pytest.raises(mediacodec.UnsupportedMediaError):
+        avicodec.video_features(bytes(bad))
+    with pytest.raises(mediacodec.UnsupportedMediaError):
+        avicodec.parse_avi(blob[:20])
+    with pytest.raises(ValueError):
+        avicodec.encode_avi(_frames(1), fps=10, codec="H264")
+
+
+@pytest.fixture(scope="module")
+def video_media(spark):
+    """3 videos (one MJPG, one DIB, one codec-gated) + 1 non-video blob."""
+    dib = avicodec.encode_avi(
+        [np.full((10, 10, 3), 25 * (i + 1), dtype=np.uint8) for i in range(6)],
+        fps=4, codec="DIB",
+    )
+    mjpg = avicodec.encode_avi(
+        [np.full((12, 16, 3), 100, dtype=np.uint8) for _ in range(3)],
+        fps=3, codec="MJPG", quality=95,
+    )
+    gated = bytearray(avicodec.encode_avi(_frames(2), fps=10, codec="DIB"))
+    h = bytes(gated).find(b"vids") + 4
+    gated[h : h + 4] = b"H264"
+    c = bytes(gated).find(b"strf") + 8 + 16
+    gated[c : c + 4] = struct.pack("<I", 0x34363248)
+    rows = [
+        (1, "md5:dib", bytearray(dib), "video/x-msvideo", len(dib)),
+        (2, "md5:mjpg", bytearray(mjpg), "video/x-msvideo", len(mjpg)),
+        (3, "md5:gated", gated, "video/x-msvideo", len(gated)),
+        (4, "md5:text", bytearray(b"not a video at all"), "text/plain", 18),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).cache()
+
+
+def test_sample_video_frames_operator(spark, video_media):
+    out = multimodal.sample_video_frames(video_media, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # gated + non-video contribute no rows; DIB 6 frames @ every 2 -> 0,2,4
+    assert sorted(by_doc) == [1, 2]
+    d = sorted(by_doc[1], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in d] == [0, 2, 4]
+    assert [r.t_ms for r in d] == [0, 500, 1000]  # 4 fps
+    assert [r.mean_value for r in d] == [25.0, 75.0, 125.0]
+    assert all((r.width, r.height, r.channels) == (10, 10, 3) for r in d)
+    # the emitted frame_png re-decodes to the sampled frame
+    px = mediacodec.decode_png(bytes(d[1].frame_png))
+    assert (px == np.full((10, 10, 3), 75, dtype=np.uint8)).all()
+    m = sorted(by_doc[2], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in m] == [0, 2]
+    assert all(abs(r.mean_value - 100.0) <= 3 for r in m)
+
+
+def test_sample_video_frames_max_frames(video_media):
+    out = multimodal.sample_video_frames(video_media, every_n=1, max_frames=2).collect()
+    counts = {}
+    for r in out:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {1: 2, 2: 2}
+
+
+def test_real_features_video_branch(spark, video_media):
+    rows = {r.doc_id: r for r in multimodal.extract_media_features_real(video_media).collect()}
+    v = rows[1]
+    assert v.decoded and v.mime == "video/x-msvideo"
+    assert (v.width, v.height, v.channels) == (10, 10, 3)
+    assert v.sample_rate == 4 and v.duration_ms == 1500
+    assert v.mean_value == 25.0  # first frame
+    assert rows[3].decoded is False  # gated handler: row survives
+    assert rows[4].decoded is False  # non-video blob
