@@ -30,6 +30,15 @@ def test_dib_roundtrip_exact():
         assert (px == frames[i]).all()
 
 
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (33, 7), (34, 24), (64, 1)])
+def test_dib_roundtrip_geometry_sweep(w, h):
+    # odd widths exercise the 4-byte row-padding path; w=1/h=1 the edges
+    frames = [RNG.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(2)]
+    blob = avicodec.encode_avi(frames, fps=30, codec="DIB")
+    for i, px in avicodec.decode_avi_frames(blob):
+        assert (px == frames[i]).all()
+
+
 def test_mjpg_frames_decode_via_jpegcodec():
     # smooth frames: DC-dominated blocks survive quantization ~exactly
     frames = [np.full((16, 16, 3), 40 + 30 * i, dtype=np.uint8) for i in range(4)]
