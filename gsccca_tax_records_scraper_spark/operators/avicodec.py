@@ -74,21 +74,29 @@ def encode_avi(
     frames: list[np.ndarray], fps: int = 10, codec: str = "MJPG", quality: int = 90
 ) -> bytes:
     """(h, w, 3) uint8 RGB frames -> AVI blob. codec='MJPG' entropy-codes
-    each frame as baseline JPEG (lossy, jpegcodec.encode_jpeg); codec='DIB'
-    stores raw rasters (lossless). All frames must share one geometry."""
+    each frame as baseline JPEG (lossy, jpegcodec.encode_jpeg; grayscale
+    (h, w, 1) frames allowed); codec='DIB' stores raw 24bpp rasters
+    (lossless, RGB only). All frames must share one geometry."""
     assert frames and fps > 0
     h, w, c = frames[0].shape
-    assert c == 3 and all(f.shape == (h, w, 3) and f.dtype == np.uint8 for f in frames)
+    assert all(f.shape == (h, w, c) and f.dtype == np.uint8 for f in frames)
     if codec == "MJPG":
         from . import jpegcodec
 
+        assert c in (1, 3)
         handler, compression = b"MJPG", struct.unpack("<I", b"MJPG")[0]
-        payloads = [jpegcodec.encode_jpeg(f, quality=quality) for f in frames]
+        payloads = [
+            jpegcodec.encode_jpeg(f[:, :, 0] if c == 1 else f, quality=quality)
+            for f in frames
+        ]
         ckid = b"00dc"
+        bitcount = 8 * c
     elif codec == "DIB":
+        assert c == 3
         handler, compression = b"DIB ", 0
         payloads = [_dib_frame(f) for f in frames]
         ckid = b"00db"
+        bitcount = 24
     else:
         raise ValueError(f"codec {codec!r}: MJPG or DIB")
     max_payload = max(len(p) for p in payloads)
@@ -105,7 +113,7 @@ def encode_avi(
         0, len(frames), max_payload, 0, 0, 0, 0, w, h,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression,
         max_payload if codec == "MJPG" else ((w * 3 + 3) & ~3) * h,
         0, 0, 0, 0,
     )
@@ -134,14 +142,31 @@ def _walk_chunks(blob: bytes, pos: int, end: int):
 
 
 def parse_avi(blob: bytes) -> dict:
-    """Container metadata + raw frame payloads, no frame decode: width,
-    height, fps, n_frames, handler, frames (list of chunk payload bytes).
-    Cheap enough for the header-only feature path; frame decode is
-    separate (`decode_avi_frames`)."""
+    """Container metadata + frame payload SPANS, no frame decode and no
+    payload copies: width, height, fps, n_frames, handler, bitcount,
+    frame_spans (list of (offset, length) into the blob). Cheap enough
+    for the header-only feature path; frame decode is separate
+    (`decode_avi_frames`), which slices only the requested frames — the
+    property behind the O(sampled) sampling claim.
+
+    Stream scoping: handler/compression/bitcount come from the FIRST
+    'vids' stream's strh + its own strl's strf — a later audio stream's
+    strf (WAVEFORMAT, also >= 40 bytes in its extensible shape) must not
+    overwrite the video compression. Frame chunks wrapped in LIST('rec ')
+    groups (interleaved AVIs, AVIF_ISINTERLEAVED) are descended into."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise UnsupportedMediaError("not a RIFF/AVI")
-    meta: dict = {"handler": b"", "compression": 0, "frames": []}
+    meta: dict = {"handler": b"", "compression": 0, "bitcount": 0, "frame_spans": []}
     fps_main = fps_stream = 0.0
+    seen_vids = False
+
+    def walk_movi(a: int, b: int) -> None:
+        for cid2, a2, b2 in _walk_chunks(blob, a, b):
+            if cid2 == b"LIST" and blob[a2 : a2 + 4] == b"rec ":
+                walk_movi(a2 + 4, b2)
+            elif cid2[2:4] in (b"dc", b"db"):
+                meta["frame_spans"].append((a2, b2 - a2))
+
     for cid, a, b in _walk_chunks(blob, 12, len(blob)):
         if cid != b"LIST":
             continue
@@ -155,23 +180,24 @@ def parse_avi(blob: bytes) -> dict:
                     meta.update(width=int(w), height=int(h), n_frames=int(total))
                     fps_main = 1_000_000.0 / usec if usec else 0.0
                 elif cid2 == b"LIST" and blob[a2 : a2 + 4] == b"strl":
+                    this_is_vids = False
                     for cid3, a3, b3 in _walk_chunks(blob, a2 + 4, b2):
                         if cid3 == b"strh" and b3 - a3 >= 48:
                             fcc_type, handler = struct.unpack_from("<4s4s", blob, a3)
                             scale, rate = struct.unpack_from("<II", blob, a3 + 20)
-                            if fcc_type == b"vids":
+                            if fcc_type == b"vids" and not seen_vids:
+                                seen_vids = this_is_vids = True
                                 meta["handler"] = handler
                                 fps_stream = rate / scale if scale else 0.0
-                        elif cid3 == b"strf" and b3 - a3 >= 40:
+                        elif cid3 == b"strf" and this_is_vids and b3 - a3 >= 40:
+                            meta["bitcount"] = struct.unpack_from("<H", blob, a3 + 14)[0]
                             meta["compression"] = struct.unpack_from("<I", blob, a3 + 16)[0]
         elif ltype == b"movi":
-            for cid2, a2, b2 in _walk_chunks(blob, a + 4, b):
-                if cid2[2:4] in (b"dc", b"db"):
-                    meta["frames"].append(blob[a2:b2])
+            walk_movi(a + 4, b)
     if "width" not in meta:
         raise UnsupportedMediaError("AVI without avih header")
     meta["fps"] = fps_stream or fps_main
-    meta["n_frames"] = meta.get("n_frames") or len(meta["frames"])
+    meta["n_frames"] = meta.get("n_frames") or len(meta["frame_spans"])
     return meta
 
 
@@ -182,34 +208,48 @@ def _decode_one(meta: dict, payload: bytes) -> np.ndarray:
 
         return jpegcodec.decode_jpeg(payload)
     if handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00") and meta["compression"] == 0:
+        # same honest gate as mediacodec.decode_bmp: only 24bpp rasters —
+        # a 32bpp BGRA stream misread as BGR would decode to garbage
+        if meta["bitcount"] != 24:
+            raise UnsupportedMediaError(f"DIB bitcount={meta['bitcount']} (24 only)")
         return _undib_frame(payload, meta["width"], meta["height"])
     raise UnsupportedMediaError(f"AVI handler {handler!r} needs a codec library")
 
 
-def decode_avi_frames(blob: bytes, indices: list[int] | None = None):
-    """Yield (frame_index, (h, w, 3) uint8 RGB) for the requested frame
-    indices (all frames when None). Only the requested frames are decoded —
-    the sampling path pays per SAMPLED frame, not per stored frame."""
-    meta = parse_avi(blob)
+def decode_avi_frames(
+    blob: bytes, indices: list[int] | None = None, meta: dict | None = None
+):
+    """Yield (frame_index, (h, w, c) uint8) for the requested frame indices
+    (all frames when None; c=1 for grayscale MJPG). Only the requested
+    frames are sliced out of the blob and decoded — the sampling path pays
+    per SAMPLED frame, not per stored frame. Pass an already-parsed `meta`
+    to skip re-walking the container."""
+    if meta is None:
+        meta = parse_avi(blob)
     want = set(indices) if indices is not None else None
-    for i, payload in enumerate(meta["frames"]):
+    for i, (off, ln) in enumerate(meta["frame_spans"]):
         if want is not None and i not in want:
             continue
-        yield i, _decode_one(meta, payload)
+        yield i, _decode_one(meta, blob[off : off + ln])
 
 
 def video_features(blob: bytes) -> dict:
     """Header-level features + a genuine first-frame decode (the cheap
-    evidence the stream is actually decodable, not just well-formed)."""
+    evidence the stream is actually decodable, not just well-formed).
+    A header-valid container with zero frame chunks is NOT a decode —
+    it raises, so the caller's decoded=False path reports it honestly."""
     meta = parse_avi(blob)
     fps = meta["fps"]
-    n = len(meta["frames"])
-    first = _decode_one(meta, meta["frames"][0]) if n else None
+    n = len(meta["frame_spans"])
+    if n == 0:
+        raise UnsupportedMediaError("AVI with no frame chunks in movi")
+    off, ln = meta["frame_spans"][0]
+    first = _decode_one(meta, blob[off : off + ln])
     return {
         "width": int(meta["width"]),
         "height": int(meta["height"]),
-        "channels": 3 if first is not None else 0,
+        "channels": int(first.shape[2]),
         "sample_rate": int(round(fps)),  # frames/sec in the audio slot
         "duration_ms": int(round(n * 1000.0 / fps)) if fps else 0,
-        "mean_value": float(first.mean()) if first is not None else 0.0,
+        "mean_value": float(first.mean()),
     }

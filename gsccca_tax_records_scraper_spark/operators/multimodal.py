@@ -324,23 +324,29 @@ def sample_video_frames(
                     continue
                 try:
                     meta = avicodec.parse_avi(blob)
-                    n = len(meta["frames"])
+                    n = len(meta["frame_spans"])
                     idx = list(range(0, n, every_n))[:max_frames]
-                    fps = meta["fps"] or 1.0
-                    for i, px in avicodec.decode_avi_frames(blob, idx):
+                    fps = meta["fps"]
+                    for i, px in avicodec.decode_avi_frames(blob, idx, meta=meta):
+                        # a container without a rate (dwScale=0 AND
+                        # dwMicroSecPerFrame=0) gets NULL timestamps, not
+                        # fabricated ones
+                        t_ms = int(round(i * 1000.0 / fps)) if fps > 0 else None
                         rows.append(
-                            (doc_id, ref, i, int(round(i * 1000.0 / fps)),
+                            (doc_id, ref, i, t_ms,
                              px.shape[1], px.shape[0], px.shape[2],
                              float(px.mean()), mediacodec.encode_png(px))
                         )
                 except (mediacodec.UnsupportedMediaError, ValueError,
                         IndexError, KeyError, _struct.error, _zlib.error):
                     continue  # gated codec or truncated/corrupt crawled blob
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "media_ref", "frame_index", "t_ms", "width",
                          "height", "channels", "mean_value", "frame_png"],
             )
+            out["t_ms"] = out["t_ms"].astype("Int32")  # nullable
+            yield out
 
     return spread_scan(media).mapInPandas(run, VIDEO_FRAME_SCHEMA)
 

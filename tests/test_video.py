@@ -44,7 +44,7 @@ def test_mjpg_frames_decode_via_jpegcodec():
     frames = [np.full((16, 16, 3), 40 + 30 * i, dtype=np.uint8) for i in range(4)]
     blob = avicodec.encode_avi(frames, fps=10, codec="MJPG", quality=95)
     meta = avicodec.parse_avi(blob)
-    assert meta["handler"] == b"MJPG" and len(meta["frames"]) == 4
+    assert meta["handler"] == b"MJPG" and len(meta["frame_spans"]) == 4
     for i, px in avicodec.decode_avi_frames(blob):
         assert np.abs(px.astype(int) - frames[i].astype(int)).max() <= 3
 
@@ -81,6 +81,111 @@ def test_gated_handler_and_corrupt_blob():
         avicodec.parse_avi(blob[:20])
     with pytest.raises(ValueError):
         avicodec.encode_avi(_frames(1), fps=10, codec="H264")
+
+
+def _patch(blob: bytes, marker: bytes, skip: int, new: bytes) -> bytes:
+    out = bytearray(blob)
+    at = blob.find(marker) + skip
+    out[at : at + len(new)] = new
+    return bytes(out)
+
+
+def test_dib_bitcount_gate():
+    # a 32bpp BGRA stream misread as BGR decodes to garbage — must raise,
+    # mirroring mediacodec.decode_bmp's bpp gate
+    blob = avicodec.encode_avi(_frames(2), fps=10, codec="DIB")
+    bad = _patch(blob, b"strf", 8 + 14, struct.pack("<H", 32))
+    with pytest.raises(mediacodec.UnsupportedMediaError):
+        next(avicodec.decode_avi_frames(bad))
+    with pytest.raises(mediacodec.UnsupportedMediaError):
+        avicodec.video_features(bad)
+
+
+def test_audio_strf_does_not_clobber_video_compression():
+    # DIB vids strl followed by an auds strl whose 40-byte strf has a
+    # nonzero dword at offset 16 (e.g. WAVEFORMATEXTENSIBLE channel mask):
+    # the video must still decode — strf is scoped to the vids strl
+    frames = _frames(3)
+    blob = avicodec.encode_avi(frames, fps=10, codec="DIB")
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4h", b"auds", b"\x00\x00\x00\x00",
+        0, 0, 0, 1, 8000, 0, 8000, 0, 0, 2, 0, 0, 0, 0,
+    )
+    strf = b"\x00" * 16 + struct.pack("<I", 0x3) + b"\x00" * 20
+    aud_strl = avicodec._list(
+        b"strl", avicodec._chunk(b"strh", strh) + avicodec._chunk(b"strf", strf)
+    )
+    # splice the audio strl into hdrl right before the hdrl LIST ends:
+    # grow the hdrl LIST body and the RIFF size accordingly
+    hdrl_at = blob.find(b"hdrl") - 8
+    hdrl_size = struct.unpack_from("<I", blob, hdrl_at + 4)[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    out = bytearray(blob[:hdrl_end] + aud_strl + blob[hdrl_end:])
+    struct.pack_into("<I", out, hdrl_at + 4, hdrl_size + len(aud_strl))
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    meta = avicodec.parse_avi(bytes(out))
+    assert meta["compression"] == 0 and meta["bitcount"] == 24
+    for i, px in avicodec.decode_avi_frames(bytes(out)):
+        assert (px == frames[i]).all()
+
+
+def test_rec_list_wrapped_movi_chunks():
+    # interleaved AVIs wrap frame chunks in LIST('rec ') groups: the movi
+    # walker must descend, not skip them
+    frames = _frames(3)
+    blob = avicodec.encode_avi(frames, fps=10, codec="DIB")
+    movi_at = blob.find(b"LIST", 12)
+    while blob[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = blob.find(b"LIST", movi_at + 4)
+    movi_size = struct.unpack_from("<I", blob, movi_at + 4)[0]
+    movi_body = blob[movi_at + 12 : movi_at + 8 + movi_size]
+    wrapped = avicodec._list(b"movi", avicodec._list(b"rec ", movi_body))
+    out = bytearray(blob[:movi_at] + wrapped + blob[movi_at + 8 + movi_size :])
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    got = dict(avicodec.decode_avi_frames(bytes(out)))
+    assert sorted(got) == [0, 1, 2]
+    for i, px in got.items():
+        assert (px == frames[i]).all()
+
+
+def test_grayscale_mjpg_channels():
+    frames = [np.full((16, 16, 1), 90, dtype=np.uint8) for _ in range(2)]
+    blob = avicodec.encode_avi(frames, fps=5, codec="MJPG", quality=95)
+    f = avicodec.video_features(blob)
+    assert f["channels"] == 1  # not a hard-coded 3
+    for _i, px in avicodec.decode_avi_frames(blob):
+        assert px.shape == (16, 16, 1)
+        assert abs(int(px.mean()) - 90) <= 3
+
+
+def test_empty_movi_raises_not_fake_features():
+    blob = avicodec.encode_avi(_frames(1), fps=10, codec="DIB")
+    movi_at = blob.find(b"LIST", 12)
+    while blob[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = blob.find(b"LIST", movi_at + 4)
+    movi_size = struct.unpack_from("<I", blob, movi_at + 4)[0]
+    out = bytearray(blob[:movi_at] + avicodec._list(b"movi", b"")
+                    + blob[movi_at + 8 + movi_size :])
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    with pytest.raises(mediacodec.UnsupportedMediaError):
+        avicodec.video_features(bytes(out))
+
+
+def test_no_rate_gives_null_timestamps(spark):
+    blob = avicodec.encode_avi(
+        [np.full((8, 8, 3), 50, dtype=np.uint8)] * 2, fps=10, codec="DIB"
+    )
+    # zero out both rate carriers: avih.dwMicroSecPerFrame and strh.dwScale/dwRate
+    blob = _patch(blob, b"avih", 8, struct.pack("<I", 0))
+    blob = _patch(blob, b"vids", 4 + 4 + 12, struct.pack("<II", 0, 0))
+    assert avicodec.parse_avi(blob)["fps"] == 0.0
+    df = spark.createDataFrame(
+        [(9, "md5:norate", bytearray(blob), "video/x-msvideo", len(blob))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_video_frames(df).collect()
+    assert len(rows) == 2 and all(r.t_ms is None for r in rows)
+    assert all(r.mean_value == 50.0 for r in rows)
 
 
 @pytest.fixture(scope="module")
