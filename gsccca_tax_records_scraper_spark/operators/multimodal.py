@@ -291,6 +291,71 @@ def pdf_pages_table(media: DataFrame) -> DataFrame:
     return spread_scan(media).mapInPandas(run, PDF_PAGE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, media_ref string, window_index int, t_ms int, "
+    "rms double, zero_crossings int, dominant_hz double"
+)
+
+
+def audio_window_features(
+    media: DataFrame, window_ms: int = 250, hop_ms: int | None = None
+) -> DataFrame:
+    """Windowed audio features over PCM-WAV blobs (the audio analog of
+    sample_video_frames): one row per window — RMS, zero-crossing count,
+    and dominant frequency (argmax of the numpy rfft magnitude over the
+    window, DC excluded). Whole-clip work is one vectorized reshape +
+    one batched FFT per blob inside the worker; only the per-window
+    feature rows cross back. Stereo is mixed down (mean). Non-audio and
+    undecodable blobs contribute no rows — a derived view. The trailing
+    partial window is dropped (windows are fixed-length so the FFT is
+    one batched call, not a ragged loop)."""
+    assert window_ms > 0
+    hop_ms = window_ms if hop_ms is None else hop_ms
+    assert 0 < hop_ms <= window_ms
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]):
+                blob = bytes(blob)
+                if mediacodec.sniff(blob) != "audio/wav":
+                    continue
+                try:
+                    samples, rate = mediacodec.decode_wav(blob)
+                except (mediacodec.UnsupportedMediaError, ValueError,
+                        IndexError, _struct.error):
+                    continue
+                if samples.ndim > 1:
+                    samples = samples.mean(axis=1)
+                x = samples.astype(np.float64) / 32768.0
+                win = max(1, rate * window_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                n_win = (len(x) - win) // hop + 1 if len(x) >= win else 0
+                if n_win <= 0:
+                    continue
+                idx = np.arange(win)[None, :] + hop * np.arange(n_win)[:, None]
+                frames = x[idx]  # (n_win, win)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                zc = (np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1])).sum(axis=1)
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                mag[:, 0] = 0.0  # DC is level, not pitch
+                dom = np.fft.rfftfreq(win, 1.0 / rate)[mag.argmax(axis=1)]
+                for w in range(n_win):
+                    rows.append(
+                        (doc_id, ref, w, int(w * hop * 1000 // rate),
+                         float(rms[w]), int(zc[w]), float(dom[w]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "window_index", "t_ms",
+                         "rms", "zero_crossings", "dominant_hz"],
+            )
+
+    return spread_scan(media).mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id long, media_ref string, frame_index int, t_ms int, "
     "width int, height int, channels int, mean_value double, frame_png binary"
