@@ -302,22 +302,24 @@ def audio_window_features(
 ) -> DataFrame:
     """Windowed audio features over PCM-WAV blobs (the audio analog of
     sample_video_frames): one row per window — RMS, zero-crossing count,
-    and dominant frequency (argmax of the numpy rfft magnitude over the
-    window, DC excluded). Whole-clip work is one vectorized reshape +
-    one batched FFT per blob inside the worker; only the per-window
-    feature rows cross back. Stereo is mixed down (mean). Non-audio and
-    undecodable blobs contribute no rows — a derived view. The trailing
-    partial window is dropped (windows are fixed-length so the FFT is
-    one batched call, not a ragged loop)."""
-    assert window_ms > 0
+    and dominant frequency (argmax of the rfft magnitude over the window,
+    DC excluded). hop > window is allowed (gapped sampling, the analog of
+    every_n). The window matrix is a stride view of the clip (no copy);
+    the FFT runs over byte-bounded chunks of windows so peak worker
+    memory stays ~32 MB per blob regardless of clip length or overlap
+    factor, and per-blob results are built columnar (no per-window Python
+    loop). Stereo is mixed down (mean). Non-audio, undecodable, and
+    rate-less blobs contribute no rows — a derived view. The trailing
+    partial window is dropped (fixed-length windows keep the FFT
+    batched, not ragged)."""
+    assert window_ms > 0 and (hop_ms is None or hop_ms > 0)
     hop_ms = window_ms if hop_ms is None else hop_ms
-    assert 0 < hop_ms <= window_ms
 
     def run(it):
         for pdf in it:
             if pdf.empty:
                 continue
-            rows = []
+            parts = []
             for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]):
                 blob = bytes(blob)
                 if mediacodec.sniff(blob) != "audio/wav":
@@ -327,31 +329,43 @@ def audio_window_features(
                 except (mediacodec.UnsupportedMediaError, ValueError,
                         IndexError, _struct.error):
                     continue
+                if rate <= 0:  # corrupt fmt chunk: no timebase, no rows
+                    continue
                 if samples.ndim > 1:
                     samples = samples.mean(axis=1)
                 x = samples.astype(np.float64) / 32768.0
                 win = max(1, rate * window_ms // 1000)
                 hop = max(1, rate * hop_ms // 1000)
-                n_win = (len(x) - win) // hop + 1 if len(x) >= win else 0
-                if n_win <= 0:
+                if len(x) < win:
                     continue
-                idx = np.arange(win)[None, :] + hop * np.arange(n_win)[:, None]
-                frames = x[idx]  # (n_win, win)
-                rms = np.sqrt((frames * frames).mean(axis=1))
-                zc = (np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1])).sum(axis=1)
-                mag = np.abs(np.fft.rfft(frames, axis=1))
-                mag[:, 0] = 0.0  # DC is level, not pitch
-                dom = np.fft.rfftfreq(win, 1.0 / rate)[mag.argmax(axis=1)]
-                for w in range(n_win):
-                    rows.append(
-                        (doc_id, ref, w, int(w * hop * 1000 // rate),
-                         float(rms[w]), int(zc[w]), float(dom[w]))
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "media_ref", "window_index", "t_ms",
-                         "rms", "zero_crossings", "dominant_hz"],
-            )
+                view = np.lib.stride_tricks.sliding_window_view(x, win)[::hop]
+                n_win = view.shape[0]
+                freqs = np.fft.rfftfreq(win, 1.0 / rate)
+                rms = np.empty(n_win)
+                zc = np.empty(n_win, dtype=np.int64)
+                dom = np.empty(n_win)
+                chunk = max(1, (32 << 20) // (win * 8))
+                for lo in range(0, n_win, chunk):
+                    f = view[lo : lo + chunk]
+                    rms[lo : lo + chunk] = np.sqrt((f * f).mean(axis=1))
+                    zc[lo : lo + chunk] = (
+                        np.signbit(f[:, 1:]) != np.signbit(f[:, :-1])
+                    ).sum(axis=1)
+                    mag = np.abs(np.fft.rfft(f, axis=1))
+                    mag[:, 0] = 0.0  # DC is level, not pitch
+                    dom[lo : lo + chunk] = freqs[mag.argmax(axis=1)]
+                w_idx = np.arange(n_win, dtype=np.int64)
+                parts.append(pd.DataFrame({
+                    "doc_id": np.full(n_win, int(doc_id), dtype=np.int64),
+                    "media_ref": ref,
+                    "window_index": w_idx.astype(np.int32),
+                    "t_ms": ((w_idx * hop * 1000) // rate).astype(np.int32),
+                    "rms": rms,
+                    "zero_crossings": zc.astype(np.int32),
+                    "dominant_hz": dom,
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return spread_scan(media).mapInPandas(run, AUDIO_WINDOW_SCHEMA)
 

@@ -70,6 +70,34 @@ def test_overlapping_hop(audio_media):
     assert sorted(r.t_ms for r in out) == [0, 125, 250, 375, 500, 625, 750]
 
 
+def test_gapped_hop_larger_than_window(audio_media):
+    # hop > window = sparse sampling (the audio analog of every_n)
+    out = [
+        r for r in multimodal.audio_window_features(
+            audio_media, window_ms=250, hop_ms=500
+        ).collect()
+        if r.doc_id == 1
+    ]
+    assert sorted(r.t_ms for r in out) == [0, 500]
+    for r in out:
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.002
+
+
+def test_zero_rate_blob_contributes_no_rows(spark):
+    # a corrupt fmt chunk with sample_rate=0 must be skipped per-row,
+    # never ZeroDivisionError the task
+    blob = bytearray(_sine_wav(440.0, 0.5))
+    at = bytes(blob).find(b"fmt ") + 8 + 4  # fmt body: format(2)+channels(2)+rate(4)
+    blob[at : at + 4] = (0).to_bytes(4, "little")
+    df = spark.createDataFrame(
+        [(8, "md5:zr", blob, "audio/wav", len(blob)),
+         (1, "md5:ok", bytearray(_sine_wav(440.0, 0.5)), "audio/wav", 0)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.audio_window_features(df, window_ms=250).collect()
+    assert {r.doc_id for r in rows} == {1}  # good blob unaffected
+
+
 def test_stereo_mixdown(spark):
     # identical L/R channels: mixdown must equal the mono signal
     t = np.arange(RATE // 2) / RATE
