@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .scanspread import spread_scan
+from .textdedup import _pairs_from_sorted
 
 MOD = (1 << 31) - 1
 BASE = 131
@@ -106,3 +107,41 @@ def winnow_fingerprints(
     return spread_scan(
         docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
     ).mapInPandas(run, FP_SCHEMA)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_common: int = 2,
+    k: int = 8,
+    w: int = 16,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Copy-detection candidate pairs sharing >= min_common distinct
+    winnowing fingerprints — the same bounded shape as
+    textdedup.ngram_overlap_pairs: df-window pruning (a fingerprint in a
+    single doc can't pair; one held by > max_df docs is boilerplate — a
+    stop-fingerprint in 10^6 docs would emit ~10^12 join rows, so fan-out
+    is capped at max_df^2 per fingerprint), then posting-list pair
+    generation inside codegen (no self-join). Like the ngram high cut,
+    max_df is semantic: boilerplate fingerprints count toward no pair's
+    n_common. Returns (doc_a, doc_b, n_common) with doc_a < doc_b."""
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
+    )
+    fps = fps.join(shared.select("fp"), "fp", "left_semi")
+    posts = fps.groupBy("fp").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+    return (
+        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

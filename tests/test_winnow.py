@@ -122,6 +122,27 @@ def test_spark_operator_and_pair_join(spark):
     assert not any(2 in k for k in keys)
 
 
+def test_winnow_overlap_pairs(spark):
+    boiler = " COPYRIGHT 2026 ALL RIGHTS RESERVED IN FULL "
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog, said the farmer" + boiler,
+        2: "an unrelated document about spark shuffle partitioning" + boiler,
+        3: "PREFIX: the quick brown fox jumps over the lazy dog, said she" + boiler,
+        4: "another unrelated text on parquet row group statistics" + boiler,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    # max_df=2: the boilerplate fingerprints (df=4) are stop-fps and count
+    # toward NO pair, so only the real plagiarism pair (1,3) survives
+    pairs = winnow.winnow_overlap_pairs(df, min_common=2, k=8, w=4, max_df=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 3)}
+    assert all(r.n_common >= 2 for r in pairs)
+    # with the window open to df=4, boilerplate links every doc pair
+    wide = winnow.winnow_overlap_pairs(df, min_common=2, k=8, w=4, max_df=64).collect()
+    assert {(r.doc_a, r.doc_b) for r in wide} >= {(1, 2), (1, 3), (2, 4)}
+
+
 def test_empty_and_short_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "abc"), (3, "abcdefghij")], "doc_id long, text string"
