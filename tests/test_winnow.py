@@ -143,6 +143,22 @@ def test_winnow_overlap_pairs(spark):
     assert {(r.doc_a, r.doc_b) for r in wide} >= {(1, 2), (1, 3), (2, 4)}
 
 
+def test_winnow_pairs_plan_shape(spark):
+    """Pair generation is posting-list style — no cartesian / nested-loop
+    pair join appears anywhere in the plan (same evidence the ngram and
+    simhash ladders carry in test_plan_shapes)."""
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with shared tail text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = winnow.winnow_overlap_pairs(df, min_common=1, k=6, w=4)
+    plan = pairs.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_empty_and_short_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "abc"), (3, "abcdefghij")], "doc_id long, text string"
