@@ -91,6 +91,46 @@ def _pairs_from_sorted(docs: Column, make) -> Column:
     )
 
 
+def df_window_pairs(
+    ex: DataFrame, key_col: str, min_common: int, max_df: int
+) -> DataFrame:
+    """Bounded candidate-pair generation from an exploded (doc_id, key)
+    table — the shared tail of the ngram and winnowing pair operators.
+    Returns (doc_a, doc_b, n_common), doc_a < doc_b.
+
+    Frequency pruning, both ends (the bounded-fan-out guarantee at corpus
+    scale): a key held by a single doc can't form a pair (the low cut is
+    result-identical), and a key held by more than max_df docs is a
+    stop-key — a single key in 10^6 docs would emit ~10^12 join pairs, so
+    fan-out must be capped at max_df^2 per key. The high cut is a
+    SEMANTIC parameter, not just pruning: dropped stop-keys no longer
+    count toward n_common for ANY pair, so a pair sharing rare + stop
+    keys reports a lower n_common and may fall under min_common. The
+    ngram contract oracle in __spark_entry__ applies the SAME df window,
+    so parity is exact by construction at every df distribution.
+    The cheap count pass runs FIRST so the posting-list aggregation never
+    materializes a stop-key's full doc list: count groupBy partial-
+    aggregates map-side (tiny shuffle), and after the semi-join every
+    surviving key's list is <= max_df ids. The semi-join and the collect
+    groupBy share one exchange on the key (SMJ preserves the
+    partitioning), so the exploded table crosses the wire once."""
+    shared = (
+        ex.groupBy(key_col)
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
+    )
+    ex = ex.join(shared.select(key_col), key_col, "left_semi")
+    posts = ex.groupBy(key_col).agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+    return (
+        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def ngram_overlap_pairs(
     df: DataFrame,
     min_common: int,
@@ -100,45 +140,14 @@ def ngram_overlap_pairs(
     max_df: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= min_common distinct k-shingles.
-    One explode + one posting-list aggregation per shingle + one pair
-    aggregation (no self-join)."""
+    One explode + the shared df-window posting-list tail (no self-join);
+    observed max shingle df at test scales: 7 @sf0.01, 25 @sf0.1 — well
+    under the default 64."""
     ex = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
     )
-    # frequency pruning, both ends (the bounded-fan-out guarantee at corpus
-    # scale): shingles held by a single doc can't form a pair (the low cut is
-    # result-identical), and shingles held by more than max_df docs are
-    # stop-shingles — a single shingle in 10^6 docs would emit ~10^12 join
-    # pairs, so the join fan-out must be capped at max_df^2 per shingle.
-    # The high cut is a SEMANTIC parameter, not just pruning: dropped
-    # stop-shingles no longer count toward n_common for ANY pair, so a pair
-    # sharing rare + stop shingles reports a lower n_common and may fall
-    # under min_common. The contract oracle in __spark_entry__ applies the
-    # SAME df window, so parity is exact by construction at every df
-    # distribution (observed max df at test scales: 7 @sf0.01, 25 @sf0.1 —
-    # well under the default 64).
-    # The cheap count pass runs FIRST so the posting-list aggregation never
-    # materializes a stop-shingle's full doc list: count groupBy partial-
-    # aggregates map-side (tiny shuffle), and after the semi-join every
-    # surviving shingle's list is <= max_df ids. The semi-join and the
-    # collect groupBy share one exchange on `sh` (SMJ preserves the
-    # partitioning), so the exploded table crosses the wire once.
-    shared = (
-        ex.groupBy("sh")
-        .agg(F.count("*").alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
-    )
-    ex = ex.join(shared.select("sh"), "sh", "left_semi")
-    posts = ex.groupBy("sh").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
-    return (
-        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-    )
+    return df_window_pairs(ex, "sh", min_common, max_df)
 
 
 def minhash_signatures(

@@ -32,17 +32,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .scanspread import spread_scan
-from .textdedup import _pairs_from_sorted
+from .textdedup import df_window_pairs
 
 MOD = (1 << 31) - 1
 BASE = 131
+# codepoints <= 0x10FFFF < 2^21 and kernel values < 2^31 keep each product
+# under 2^52; sums of up to MAX_K terms stay under 2^62 — int64-exact
+MAX_K = 1024
 
 FP_SCHEMA = "doc_id long, pos int, fp long"
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Exact polynomial hashes of every k-gram, vectorized (int64-safe)."""
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    """Exact polynomial hashes of every k-gram, vectorized (int64-exact for
+    k <= MAX_K, asserted by the callers). surrogatepass keeps parity with
+    ord() on lone surrogates (texts decoded upstream with surrogateescape
+    must fingerprint, not kill the task). The (chunk, k) product
+    temporaries are byte-bounded (~32 MB) so one long document cannot
+    blow a worker's memory."""
+    codes = np.frombuffer(
+        text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.int64)
     n = len(codes) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64)
@@ -52,13 +62,17 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
         kernel[j] = p
         p = (p * BASE) % MOD
     view = np.lib.stride_tricks.sliding_window_view(codes, k)
-    # products < 2^21 * 2^31 = 2^52; k-term sums stay far under 2^63
-    return ((view % MOD) * kernel).sum(axis=1) % MOD
+    out = np.empty(n, dtype=np.int64)
+    chunk = max(1, (32 << 20) // (k * 8))
+    for lo in range(0, n, chunk):
+        out[lo : lo + chunk] = (view[lo : lo + chunk] * kernel).sum(axis=1) % MOD
+    return out
 
 
 def winnow_one(text: str, k: int = 8, w: int = 16) -> tuple[np.ndarray, np.ndarray]:
     """(positions, fingerprints) selected for one document. Fewer than w
     k-grams -> the single global minimum (short docs still fingerprint)."""
+    assert 1 <= k <= MAX_K and w >= 1
     h = _kgram_hashes(text, k)
     n = len(h)
     if n == 0:
@@ -85,7 +99,7 @@ def winnow_fingerprints(
     counted. Equi-joining on fp yields copy-detection candidate pairs —
     the same bounded bucketed-join shape as the dedup ladder's other
     pair generators."""
-    assert k >= 1 and w >= 1
+    assert 1 <= k <= MAX_K and w >= 1
 
     def run(it):
         for pdf in it:
@@ -119,29 +133,12 @@ def winnow_overlap_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Copy-detection candidate pairs sharing >= min_common distinct
-    winnowing fingerprints — the same bounded shape as
-    textdedup.ngram_overlap_pairs: df-window pruning (a fingerprint in a
-    single doc can't pair; one held by > max_df docs is boilerplate — a
-    stop-fingerprint in 10^6 docs would emit ~10^12 join rows, so fan-out
-    is capped at max_df^2 per fingerprint), then posting-list pair
-    generation inside codegen (no self-join). Like the ngram high cut,
-    max_df is semantic: boilerplate fingerprints count toward no pair's
+    winnowing fingerprints, via the dedup ladder's shared bounded tail
+    (textdedup.df_window_pairs): df-window pruning caps join fan-out at
+    max_df^2 per fingerprint and — like the ngram high cut — is semantic:
+    boilerplate fingerprints held by > max_df docs count toward no pair's
     n_common. Returns (doc_a, doc_b, n_common) with doc_a < doc_b."""
     fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
         "doc_id", "fp"
     ).distinct()
-    shared = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
-    )
-    fps = fps.join(shared.select("fp"), "fp", "left_semi")
-    posts = fps.groupBy("fp").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
-    return (
-        posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-    )
+    return df_window_pairs(fps, "fp", min_common, max_df)

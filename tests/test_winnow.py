@@ -81,6 +81,26 @@ def test_edit_locality():
     assert far_a and all(b.get(p) == f for p, f in far_a.items())
 
 
+def test_lone_surrogate_parity():
+    # upstream surrogateescape decoding can leave lone surrogates in text;
+    # they must fingerprint (matching ord()-based hashing), not crash
+    text = "abcdefgh\ud800xyz and more text after the surrogate padding"
+    pos, fps = winnow.winnow_one(text, 4, 4)
+    assert {int(p): int(f) for p, f in zip(pos, fps)} == _ref_winnow(text, 4, 4)
+
+
+def test_k_bound_asserted():
+    # beyond MAX_K the int64 sum can overflow silently: the envelope is
+    # enforced, not hoped for
+    with pytest.raises(AssertionError):
+        winnow.winnow_one("x" * 20000, k=winnow.MAX_K + 1, w=4)
+    # at the bound itself, parity still holds on astral-plane text
+    text = chr(0x10FFFF) * 1200
+    pos, fps = winnow.winnow_one(text, winnow.MAX_K, 4)
+    ref = _ref_winnow(text, winnow.MAX_K, 4)
+    assert {int(p): int(f) for p, f in zip(pos, fps)} == ref
+
+
 def test_hash_values_are_polynomial_codes():
     # spot-check the hash definition itself: h("ab") = ord('a')*B + ord('b')
     h = winnow._kgram_hashes("ab", 2)
