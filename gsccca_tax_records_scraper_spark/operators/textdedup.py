@@ -98,6 +98,15 @@ def df_window_pairs(
     table — the shared tail of the ngram and winnowing pair operators.
     Returns (doc_a, doc_b, n_common), doc_a < doc_b.
 
+    PRECONDITION: (doc_id, key) rows must be DISTINCT. The count pass
+    measures document frequency, the posting lists assume one entry per
+    doc, and _pairs_from_sorted emits self-pairs from repeated ids — a
+    duplicate-carrying caller gets inflated n_common and (a, a) rows.
+    Dedup at the cheapest point for the shape: array_distinct before the
+    explode (ngram), .distinct() on the fingerprint table (winnow);
+    deduping HERE would force an extra exchange on callers that are
+    already distinct by construction.
+
     Frequency pruning, both ends (the bounded-fan-out guarantee at corpus
     scale): a key held by a single doc can't form a pair (the low cut is
     result-identical), and a key held by more than max_df docs is a

@@ -43,6 +43,16 @@ MAX_K = 1024
 FP_SCHEMA = "doc_id long, pos int, fp long"
 
 
+def _check_kw(k: int, w: int) -> None:
+    """A raise, not an assert: the overflow envelope must survive
+    PYTHONOPTIMIZE-stripped workers — beyond MAX_K the int64 sums wrap
+    SILENTLY into wrong-but-plausible fingerprints."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k={k} outside the int64-exact envelope [1, {MAX_K}]")
+    if w < 1:
+        raise ValueError(f"w={w} must be >= 1")
+
+
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
     """Exact polynomial hashes of every k-gram, vectorized (int64-exact for
     k <= MAX_K, asserted by the callers). surrogatepass keeps parity with
@@ -72,7 +82,7 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
 def winnow_one(text: str, k: int = 8, w: int = 16) -> tuple[np.ndarray, np.ndarray]:
     """(positions, fingerprints) selected for one document. Fewer than w
     k-grams -> the single global minimum (short docs still fingerprint)."""
-    assert 1 <= k <= MAX_K and w >= 1
+    _check_kw(k, w)
     h = _kgram_hashes(text, k)
     n = len(h)
     if n == 0:
@@ -99,7 +109,7 @@ def winnow_fingerprints(
     counted. Equi-joining on fp yields copy-detection candidate pairs —
     the same bounded bucketed-join shape as the dedup ladder's other
     pair generators."""
-    assert 1 <= k <= MAX_K and w >= 1
+    _check_kw(k, w)
 
     def run(it):
         for pdf in it:

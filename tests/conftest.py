@@ -17,6 +17,14 @@ def spark():
     yield s
 
 
+def explain(df) -> str:
+    """The string df.explain('formatted') would print — shared by every
+    plan-shape assertion (one place to adapt if the _jvm access changes)."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 @pytest.fixture(scope="session")
 def sf001() -> str:
     return "/root/testdata/sf0.001"

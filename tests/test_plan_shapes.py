@@ -13,11 +13,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 
 
-def explain(df) -> str:
-    """The string df.explain('formatted') would print."""
-    return df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import explain  # shared plan-string helper
 
 
 def test_filter_pushdown_reaches_scan(spark, sf01):

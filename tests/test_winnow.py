@@ -91,8 +91,8 @@ def test_lone_surrogate_parity():
 
 def test_k_bound_asserted():
     # beyond MAX_K the int64 sum can overflow silently: the envelope is
-    # enforced, not hoped for
-    with pytest.raises(AssertionError):
+    # enforced with a raise that survives PYTHONOPTIMIZE-stripped workers
+    with pytest.raises(ValueError):
         winnow.winnow_one("x" * 20000, k=winnow.MAX_K + 1, w=4)
     # at the bound itself, parity still holds on astral-plane text
     text = chr(0x10FFFF) * 1200
@@ -171,10 +171,10 @@ def test_winnow_pairs_plan_shape(spark):
         [(i, f"document number {i} with shared tail text") for i in range(6)],
         "doc_id long, text string",
     )
+    from conftest import explain
+
     pairs = winnow.winnow_overlap_pairs(df, min_common=1, k=6, w=4)
-    plan = pairs.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        pairs._jdf.queryExecution(), "formatted"
-    )
+    plan = explain(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
