@@ -64,10 +64,14 @@ def _dib_frame(frame: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def _undib_frame(body: bytes, w: int, h: int) -> np.ndarray:
+def _undib_frame(body: bytes, w: int, h: int, topdown: bool = False) -> np.ndarray:
+    """Raster -> (h, w, 3) RGB. Bottom-up (positive biHeight, the common
+    case) is row-reversed; a top-down DIB (negative biHeight in strf) is
+    already in natural row order, so only the BGR->RGB swap applies."""
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(body, dtype=np.uint8, count=row_size * h).reshape(h, row_size)
-    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    return img[:, :, ::-1] if topdown else img[::-1, :, ::-1]
 
 
 def encode_avi(
@@ -190,6 +194,9 @@ def parse_avi(blob: bytes) -> dict:
                                 meta["handler"] = handler
                                 fps_stream = rate / scale if scale else 0.0
                         elif cid3 == b"strf" and this_is_vids and b3 - a3 >= 40:
+                            # biHeight (offset 8) is SIGNED: negative means a
+                            # top-down raster — decoded unflipped, not garbage
+                            meta["topdown"] = struct.unpack_from("<i", blob, a3 + 8)[0] < 0
                             meta["bitcount"] = struct.unpack_from("<H", blob, a3 + 14)[0]
                             meta["compression"] = struct.unpack_from("<I", blob, a3 + 16)[0]
         elif ltype == b"movi":
@@ -203,7 +210,10 @@ def parse_avi(blob: bytes) -> dict:
 
 def _decode_one(meta: dict, payload: bytes) -> np.ndarray:
     handler = meta["handler"].upper()
-    if handler == b"MJPG" or meta["compression"] == struct.unpack("<I", b"MJPG")[0]:
+    # biCompression fourcc is matched case-insensitively — wild AVIs often
+    # carry lowercase 'mjpg' with a blank/odd handler
+    compression_fcc = struct.pack("<I", meta["compression"]).upper()
+    if handler == b"MJPG" or compression_fcc == b"MJPG":
         from . import jpegcodec
 
         return jpegcodec.decode_jpeg(payload)
@@ -212,7 +222,9 @@ def _decode_one(meta: dict, payload: bytes) -> np.ndarray:
         # a 32bpp BGRA stream misread as BGR would decode to garbage
         if meta["bitcount"] != 24:
             raise UnsupportedMediaError(f"DIB bitcount={meta['bitcount']} (24 only)")
-        return _undib_frame(payload, meta["width"], meta["height"])
+        return _undib_frame(
+            payload, meta["width"], meta["height"], meta.get("topdown", False)
+        )
     raise UnsupportedMediaError(f"AVI handler {handler!r} needs a codec library")
 
 

@@ -307,7 +307,10 @@ def audio_window_features(
     every_n). The window matrix is a stride view of the clip (no copy);
     the FFT runs over byte-bounded chunks of windows so peak worker
     memory stays ~32 MB per blob regardless of clip length or overlap
-    factor, and per-blob results are built columnar (no per-window Python
+    factor — the chunk budget charges all three concurrent temporaries
+    (the f*f square, numpy's contiguous copy of the strided chunk for
+    rfft, and the complex128 rfft output), ~3x the raw chunk bytes —
+    and per-blob results are built columnar (no per-window Python
     loop). Stereo is mixed down (mean). Non-audio, undecodable, and
     rate-less blobs contribute no rows — a derived view. The trailing
     partial window is dropped (fixed-length windows keep the FFT
@@ -344,7 +347,9 @@ def audio_window_features(
                 rms = np.empty(n_win)
                 zc = np.empty(n_win, dtype=np.int64)
                 dom = np.empty(n_win)
-                chunk = max(1, (32 << 20) // (win * 8))
+                # budget / 3: the f*f square, rfft's contiguous input
+                # copy, and the complex128 output are live at once
+                chunk = max(1, (32 << 20) // (3 * win * 8))
                 for lo in range(0, n_win, chunk):
                     f = view[lo : lo + chunk]
                     rms[lo : lo + chunk] = np.sqrt((f * f).mean(axis=1))

@@ -101,6 +101,32 @@ def test_dib_bitcount_gate():
         avicodec.video_features(bad)
 
 
+def test_lowercase_mjpg_compression_blank_handler():
+    # wild AVIs often carry lowercase 'mjpg' in biCompression with a
+    # blank handler — the fourcc compare must be case-insensitive
+    frames = [np.full((16, 16, 3), 40 + 30 * i, dtype=np.uint8) for i in range(3)]
+    blob = avicodec.encode_avi(frames, fps=10, codec="MJPG", quality=95)
+    h = blob.find(b"vids") + 4
+    wild = _patch(blob, b"strf", 8 + 16, b"mjpg")
+    wild = wild[:h] + b"\x00\x00\x00\x00" + wild[h + 4 :]
+    assert avicodec.parse_avi(wild)["handler"] == b"\x00\x00\x00\x00"
+    for i, px in avicodec.decode_avi_frames(wild):
+        assert np.abs(px.astype(int) - frames[i].astype(int)).max() <= 3
+
+
+def test_topdown_dib_decodes_unflipped():
+    # negative biHeight in strf = top-down raster: rows are stored in
+    # natural order, so the bottom-up row reversal must be skipped. The
+    # encoder writes bottom-up rasters, so patching the sign flag onto an
+    # unchanged body must yield the vertically flipped frame — exactly.
+    frames = _frames(2, h=6, w=5)
+    blob = avicodec.encode_avi(frames, fps=10, codec="DIB")
+    top = _patch(blob, b"strf", 8 + 8, struct.pack("<i", -6))
+    assert avicodec.parse_avi(top)["topdown"] is True
+    for i, px in avicodec.decode_avi_frames(top):
+        assert (px == frames[i][::-1]).all()
+
+
 def test_audio_strf_does_not_clobber_video_compression():
     # DIB vids strl followed by an auds strl whose 40-byte strf has a
     # nonzero dword at offset 16 (e.g. WAVEFORMATEXTENSIBLE channel mask):
