@@ -18,16 +18,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Partition count memoized per (application, analyzed-plan semanticHash):
+# the .rdd planning pass costs ~70-150 ms of driver time per FRESH DataFrame
+# (PySpark builds the Python-conversion RDD), and operator call sites rebuild
+# the same logical plan every invocation — bench reps, retries, repeated
+# queries. semanticHash is computed during analysis the DataFrame already
+# paid for, so a hit skips the extra compile entirely. Staleness is benign:
+# the worst case is a spread decision made from a superseded file listing,
+# which affects parallelism of a tiny input, never correctness.
+_NPARTS_CACHE: dict[tuple[str, int], int] = {}
+_NPARTS_CACHE_MAX = 4096
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # py4j surface changed: fall back to the direct pass
+        return df.rdd.getNumPartitions()
+    n = _NPARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPARTS_CACHE) >= _NPARTS_CACHE_MAX:
+            _NPARTS_CACHE.clear()
+        _NPARTS_CACHE[key] = n
+    return n
+
 
 def spread_scan(df: DataFrame) -> DataFrame:
-    # .rdd compiles the plan once more than necessary — a driver-side
-    # planning pass only (no job), paid once per OPERATOR call, not per row;
-    # PySpark exposes no cheaper partition count for an unexecuted plan.
     # Spread only when SEVERELY under-split (< half the session's cores):
     # a mid-plan input at e.g. 200 of 256 partitions keeps its partitioning
     # rather than paying a full shuffle of raw rows for a 28% wave gain.
     target = df.sparkSession.sparkContext.defaultParallelism
-    nparts = df.rdd.getNumPartitions()
+    nparts = _scan_partitions(df)
     # target > nparts: on a 1-2 core session a 1-partition scan is already
     # as spread as the session can use — repartitioning to <= the same
     # count would add a full shuffle for zero parallelism gain
