@@ -25,6 +25,7 @@ from gsccca_tax_records_scraper_spark.operators import (
     similarity,
     textdedup,
     textstats,
+    winnow,
 )
 from gsccca_tax_records_scraper_spark.operators.textstats import (
     BPE_TOKEN_PATTERN,
@@ -1160,6 +1161,59 @@ def q_ngram_pairs(spark, sf):
     return textdedup.ngram_overlap_pairs(_t(spark, sf, "documents"), min_common=5)
 
 
+# winnowing (SIGMOD'03 / MOSS) copy-detection pairs under a FULL value
+# oracle: DuckDB recomputes the exact polynomial k-gram hashes (kernel
+# literals derived from the operator's own BASE/MOD so there is one source
+# of truth), selects the rightmost-minimal hash per w-window via a
+# composite min (h * 2^31 + (M - pos): minimizing it minimizes h then
+# maximizes pos — the numpy reversed-argmin tie rule), handles the
+# short-doc single-global-min case, and applies the SAME df window + pair
+# tail as the engine's shared df_window_pairs.
+_WINNOW_K, _WINNOW_W = 8, 16
+
+
+def _winnow_kernel() -> list[int]:
+    kern, p = [0] * _WINNOW_K, 1
+    for j in range(_WINNOW_K - 1, -1, -1):
+        kern[j] = p
+        p = (p * winnow.BASE) % winnow.MOD
+    return kern
+
+
+_WINNOW_TERMS_SQL = " + ".join(
+    f"unicode(substr(text, i + {j}, 1))::BIGINT * {kj}"
+    for j, kj in enumerate(_winnow_kernel())
+)
+_WINNOW_SQL = (
+    "WITH posn AS (SELECT doc_id, text,"
+    f" unnest(generate_series(1, greatest(length(text) - {_WINNOW_K - 1}, 0))) AS i"
+    " FROM documents),"
+    f" grams AS (SELECT doc_id, i - 1 AS pos, ({_WINNOW_TERMS_SQL}) % {winnow.MOD} AS h"
+    " FROM posn),"
+    " hcount AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+    f" comp AS (SELECT doc_id, pos, h * {1 << 31} + ({winnow.MOD} - pos) AS c FROM grams),"
+    " wmins AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos"
+    f" ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wc FROM comp),"
+    " sel AS (SELECT DISTINCT w.doc_id, wc FROM wmins w JOIN hcount USING (doc_id)"
+    f" WHERE n >= {_WINNOW_W} AND pos <= n - {_WINNOW_W}"
+    " UNION ALL SELECT c.doc_id, min(c) AS wc FROM comp c JOIN hcount USING (doc_id)"
+    f" WHERE n < {_WINNOW_W} GROUP BY c.doc_id),"
+    f" fps AS (SELECT DISTINCT doc_id, wc // {1 << 31} AS fp FROM sel),"
+    " keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),"
+    " fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common"
+    " FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2 HAVING count(*) >= 2"
+)
+
+
+@_q("winnow_overlap_pairs", _WINNOW_SQL)
+def q_winnow_pairs(spark, sf):
+    return winnow.winnow_overlap_pairs(
+        _t(spark, sf, "documents"), min_common=2, k=_WINNOW_K, w=_WINNOW_W, max_df=64
+    )
+
+
 # the minhash CTE list + pair select are shared by minhash_lsh_pairs and
 # dup_clusters (the clusters query runs connected components over exactly
 # this pair graph, so its oracle must rebuild the same edges)
@@ -1468,13 +1522,12 @@ def q_doc_fp(spark, sf):
 
 # ---- training-data pipeline: multimodal plumbing ----------------------------
 
-@_q(
-    "media_features",
-    "SELECT doc_id, 'md5:' || md5(text) AS media_ref, strlen(text) AS n_bytes,"
-    " (64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 577)::INT AS width,"
-    " (64 + (('0x' || substr(md5(text), 1, 8))::BIGINT >> 16) % 577)::INT AS height,"
-    " md5(text) AS checksum FROM documents",
-)
+# UNREGISTERED (r4 verdict, next-round item #5): the stub-metadata features
+# here are strictly subsumed by media_features_decoded's full-oracle REAL
+# decode, so this entry's registry slot was traded to winnow_overlap_pairs —
+# the dedup ladder's only member that lacked an oracle row. The function
+# stays callable: bench.py keeps it in the headline suite for round-over-
+# round per-query continuity (resolved via module attribute, not queries()).
 def q_media_features(spark, sf):
     media = multimodal.attach_media(_t(spark, sf, "documents"))
     feats = multimodal.extract_media_features(media)

@@ -787,7 +787,10 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "id % 97 as g", "cast(id as double) * 2.0 as v", "concat('w', id) as s"
     )
     _noop_write(warm.groupBy("g").agg({"v": "sum", "s": "max"}))
-    qs = entrymod.queries()
+    # media_features left the contract registry (its slot went to
+    # winnow_overlap_pairs; the decoded variant carries the oracle) but
+    # stays in the headline suite for round-over-round continuity
+    qs = {**entrymod.queries(), "media_features": entrymod.q_media_features}
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()

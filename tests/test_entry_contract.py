@@ -25,7 +25,8 @@ SUBSET = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "cosine_topk_bruteforce",
-    "media_features",
+    "media_features_decoded",
+    "winnow_overlap_pairs",
     "quality_score",
 ]
 
