@@ -33,6 +33,59 @@ def test_ceiling_degenerates_to_cal_when_no_dram_share():
     assert bench.blended_ceiling(0.9, 0.25, 0.0) == 0.9
 
 
+def _run(t_work, t_cal, t_bw):
+    return {"t_dedup_sec": t_work, "t_fetch_sec": t_work,
+            "t_cal_sec": t_cal, "t_bw_sec": t_bw}
+
+
+def test_paired_adjudication_uses_same_window_ceiling():
+    # The clamped r5 window shape: 32-core pass 0 has the clean
+    # calibration but a slower workload time (busy neighbor), pass 1 has
+    # the workload record but a clamped calibration. Global min-merge
+    # pairs pass 1's record with pass 0's clean cal -> ceiling too high
+    # -> unmet. The paired basis solves pass 1's ceiling from pass 1's
+    # own clamped cal and adjudicates met_at_ceiling.
+    runs8 = [_run(24.0, 4.4, 2.4)]
+    # clean pass: cal scales 0.917 but workload slower (busy neighbor);
+    # clamped pass: best workload time, cal only 0.733
+    runs32 = [_run(8.6, 1.2, 1.5), _run(7.9, 1.5, 1.5)]
+    f = bench.DRAM_FRACTION["fetch"]
+    # global mix: raw = 24/(4*7.9) = 0.759, cal = 4.4/(4*1.2) = 0.917
+    global_ceiling = bench.blended_ceiling(0.917, 0.4, f)
+    assert bench.adjudicate_gate(0.759, global_ceiling) == "unmet"
+    best = bench.paired_adjudication(runs8, runs32, "t_fetch_sec", f)
+    # best pair = (0, 1): raw 0.759 vs ceiling solved from cal
+    # 4.4/(4*1.5) = 0.733 -> raw/ceiling > 1 -> met_at_ceiling
+    assert best["pass32"] == 1
+    assert best["cal"] == 0.733
+    assert best["gate"] == "met_at_ceiling"
+    assert best["raw"] == 0.759
+
+
+def test_paired_adjudication_prefers_met_raw_pair():
+    # one pair clears 0.8 raw outright -> that pair wins regardless of
+    # other pairs' ceilings
+    runs8 = [_run(26.0, 4.4, 2.4), _run(24.0, 4.4, 2.4)]
+    runs32 = [_run(7.4, 1.3, 1.5), _run(9.5, 1.2, 1.5)]
+    best = bench.paired_adjudication(
+        runs8, runs32, "t_dedup_sec", bench.DRAM_FRACTION["dedup"]
+    )
+    assert best["gate"] == "met_raw"
+    assert (best["pass8"], best["pass32"]) == (1, 0)
+    assert best["raw"] == round(24.0 / (4 * 7.4), 3)
+
+
+def test_paired_raw_never_exceeds_global_min_merge():
+    # max over pairs of raw_ij == the global min-merged raw by construction
+    runs8 = [_run(30.0, 4.5, 2.4), _run(25.0, 4.3, 2.4)]
+    runs32 = [_run(9.0, 1.3, 1.5), _run(8.0, 1.25, 1.5)]
+    best = bench.paired_adjudication(
+        runs8, runs32, "t_fetch_sec", bench.DRAM_FRACTION["fetch"]
+    )
+    global_raw = round(25.0 / (4 * 8.0), 3)
+    assert best["raw"] <= global_raw
+
+
 def test_summary_line_fits_tail_window():
     # mirror of main()'s summary construction with representative values:
     # the r4 artifact captured only ~2 KB of stdout tail and the detail
@@ -43,6 +96,8 @@ def test_summary_line_fits_tail_window():
         "value": 99.999,
         "unit": "sec",
         "queries": queries,
+        "queries_settled_min": queries,
+        "value_settled": 99.999,
         "sf": 0.1,
         "cores": 32,
         "pages_per_sec": 9999999.9,
@@ -60,9 +115,20 @@ def test_summary_line_fits_tail_window():
         "raw_over_ceiling_fetch": 0.999,
         "gate_dedup": "met_at_ceiling",
         "gate_fetch": "met_at_ceiling",
+        "gate_dedup_basis": "paired",
+        "gate_fetch_basis": "paired",
+        "paired_dedup": {
+            "raw": 0.999, "cal": 0.999, "ceiling": 0.999,
+            "raw_over_ceiling": 0.999, "gate": "met_at_ceiling",
+        },
+        "paired_fetch": {
+            "raw": 0.999, "cal": 0.999, "ceiling": 0.999,
+            "raw_over_ceiling": 0.999, "gate": "met_at_ceiling",
+        },
         "growth_flatness_same_phase": 0.999,
         "growth_flatness_last_vs_second": 0.999,
         "touched_speedup_spread_vs_confined": 9.999,
         "detail": "full payload on the preceding stdout line; BENCH.md has prose",
     }
-    assert len(json.dumps(summary)) < 1500
+    # the r4 artifact's tail window held ~2 KB; stay under it with margin
+    assert len(json.dumps(summary)) < 1800
