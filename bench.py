@@ -49,9 +49,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-N_SEEN = 12_000_000
-N_CAND = 24_000_000  # starts at 0 -> 50% of candidates are already seen
-N_PAGES = 2_400_000
+# workload sizes: env-overridable ONLY for smoke-testing the full main()
+# path quickly (workers are subprocesses, so plain monkeypatching cannot
+# reach them); every recorded run uses the defaults
+N_SEEN = int(os.environ.get("BENCH_N_SEEN", "12000000"))
+N_CAND = int(os.environ.get("BENCH_N_CAND", "24000000"))  # starts at 0 ->
+#                              50% of candidates are already seen
+N_PAGES = int(os.environ.get("BENCH_N_PAGES", "2400000"))
 # host-bucket fan-out for the crawl workloads: the engine's documented
 # sizing rule (urltools.N_HOST_BUCKETS: raise fan-out as the seen set
 # grows; the engine doubles it dynamically via split_seen_state). At the
@@ -60,8 +64,10 @@ N_PAGES = 2_400_000
 # the 32-thread scheduler only 64 tasks (2 waves); 256 buckets sizes both
 # correctly: ~94k urls/bucket post-insert and 8 scheduling waves.
 BENCH_N_BUCKETS = 256
-N_REPS = 4  # per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
-N_PASSES = 3  # alternating-core passes per config; min-merge across passes
+N_REPS = int(os.environ.get("BENCH_N_REPS", "4"))
+#           per pass; rep 1 = full-scale JIT/heap warmup, dropped from the min
+N_PASSES = int(os.environ.get("BENCH_N_PASSES", "3"))
+#               alternating-core passes per config; min-merge across passes
 #               means ONE pass in a good hardware window sets the record,
 #               and this box's 8->32 silicon scaling itself swings 0.60-0.80
 #               between multi-minute windows (visible in t_cal_sec)
@@ -533,7 +539,9 @@ def _state_bytes(state, seg_root: str | None = None) -> int:
 
 
 def dedup_growth(
-    cores: int, n_epochs: int = 10, n_cand: int = 3_000_000,
+    cores: int,
+    n_epochs: int = int(os.environ.get("BENCH_GROWTH_EPOCHS", "10")),
+    n_cand: int = int(os.environ.get("BENCH_GROWTH_CAND", "3000000")),
     compact_every: int = 4,
 ) -> dict:
     """O(batch) evidence (r2 verdict #2, r3 verdict #1): run `n_epochs`
