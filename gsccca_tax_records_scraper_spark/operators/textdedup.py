@@ -117,19 +117,23 @@ def df_window_pairs(
     keys reports a lower n_common and may fall under min_common. The
     ngram contract oracle in __spark_entry__ applies the SAME df window,
     so parity is exact by construction at every df distribution.
-    The cheap count pass runs FIRST so the posting-list aggregation never
-    materializes a stop-key's full doc list: count groupBy partial-
-    aggregates map-side (tiny shuffle), and after the semi-join every
-    surviving key's list is <= max_df ids. The semi-join and the collect
-    groupBy share one exchange on the key (SMJ preserves the
-    partitioning), so the exploded table crosses the wire once."""
-    shared = (
-        ex.groupBy(key_col)
-        .agg(F.count("*").alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_df))
+    The df gate runs as a count window over the key BEFORE the
+    posting-list aggregation (same construction as lsh_candidate_pairs):
+    the exploded table is computed and exchanged exactly ONCE — window
+    and collect groupBy share the one hash partitioning on the key — and
+    no stop-key's full doc list is ever materialized (the filter sits
+    between the count and the collect). The previous count-groupBy +
+    semi-join shape re-computed the upstream explode (and its shingle
+    expressions) for the count pass: two full scans + two Generates per
+    call (measured 1.4s -> 1.0s settled and 3.8s -> 1.7s first-run on
+    ngram_overlap_pairs at sf0.1/local[32])."""
+    wcount = Window.partitionBy(key_col)
+    gated = ex.withColumn("__n", F.count("*").over(wcount)).filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_df)
     )
-    ex = ex.join(shared.select(key_col), key_col, "left_semi")
-    posts = ex.groupBy(key_col).agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    posts = gated.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
     pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
     return (
         posts.select(F.explode(_pairs_from_sorted(F.col("docs"), pair)).alias("p"))
@@ -168,16 +172,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, band, minhash): per band b, min over shingles of
     md5(shingle || '#b'). Lexicographic min over hex == numeric min over the
-    corresponding 128-bit value, and is oracle-reproducible."""
-    ex = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
+    corresponding 128-bit value, and is oracle-reproducible.
+
+    The per-band minimum is a per-DOCUMENT reduction, so it runs as an
+    array_min over the row's own shingle array — a pure projection, no
+    explode, no exchange, no aggregate. (The former explode + groupBy
+    planned as a SortAggregate: min over a var-length string has no
+    fixed-size agg buffer, so every signature paid two sorts of the
+    exploded shingle table. The md5 count per doc is unchanged.) The
+    isNotNull filter mirrors the explode path's null-text drop."""
+    shs = F.array_distinct(shingles_col(F.col(text_col), k))
+    base = (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), shs.alias("__shs"))
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{b}")))).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    wide = ex.groupBy("doc_id").agg(*aggs)
+    def _band_min(b: int):
+        # closure factory: PySpark's higher-order-function builder passes a
+        # positional index arg to multi-parameter lambdas, so a `b=b`
+        # default would be overwritten by the index column
+        return F.array_min(
+            F.transform(F.col("__shs"), lambda s: F.md5(F.concat(s, F.lit(f"#{b}"))))
+        ).alias(f"b{b}")
+
+    wide = base.select("doc_id", *[_band_min(b) for b in range(n_bands)])
     stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
     return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) as (band, minhash)")
 
@@ -232,17 +250,41 @@ def simhash_fingerprints(
     df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash): sign-aggregate each of `bits` hash bits over the
-    document's distinct tokens."""
-    ex = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    document's distinct tokens.
+
+    The per-bit ±1 sum is a per-DOCUMENT reduction, so it runs as an
+    F.aggregate over the row's own distinct-token hash array — a pure
+    projection (scan → project, zero exchanges) instead of the former
+    explode + 16-column groupBy (which shuffled the exploded token table).
+    One md5 per distinct token either way; sign rule and tie handling
+    (s_b == 0 → bit 0) are bit-identical. The isNotNull filter mirrors
+    the explode path's null-text drop."""
+    hs = F.transform(
+        F.array_distinct(tokens_col(F.col(text_col))),
+        lambda t: hex_to_long(F.md5(t)),
     )
-    wide = ex.groupBy("doc_id").agg(*simhash_col_exprs(bits))
+    base = (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), hs.alias("__hs"))
+    )
+    def _bit_sum(b: int):
+        # closure factory (not a `b=b` default): see minhash_signatures
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ).alias(f"s{b}")
+
+    sums = base.select("doc_id", *[_bit_sum(b) for b in range(bits)])
     fp = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return wide.select("doc_id", fp.cast("long").alias("simhash"))
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
