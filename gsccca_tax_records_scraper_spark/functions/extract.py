@@ -40,6 +40,18 @@ VIEWER_VAR_RES = {
     name: re.compile(rf'var {name}\s*=\s*"?(\d+)"?')
     for name in ("iLienID", "county", "book", "page", "user", "appid")
 }
+# one-pass fast path for the vectorized parser: the reference pages declare
+# the six vars consecutively in this order (lien_index_scraper.py:649-659),
+# so a single ordered-chain regex replaces six whole-page scans. Rows the
+# chain does NOT match (missing var, permuted page) fall back to the exact
+# per-var extraction, so any page outside the well-formed domain parses
+# identically to before.
+VIEWER_VARS_CHAIN_RE = re.compile(
+    "".join(
+        rf'var {name}\s*=\s*"?(\d+)"?' + (r"[\s\S]*?" if i < 5 else "")
+        for i, name in enumerate(VIEWER_VAR_RES)
+    )
+)
 # viewer-URL synthesis (F2): the reference assembles the HTML5Viewer URL
 # from the 6 extracted JS vars and stores it as pdf_document_url
 # (lien_index_scraper.py:661-665); the dashboard export equi-looks-up records
@@ -475,12 +487,17 @@ def parse_detail_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out["debtors"] = html_s.str.extract(PARTY_DIRECT_RE, expand=False).fillna("")
     out["claimants"] = html_s.str.extract(PARTY_REVERSE_RE, expand=False).fillna("")
-    # F2: viewer vars -> pdf_document_url, vectorized (one str.extract per
-    # var over the whole Arrow batch); '' when any var missed
-    vv = {
-        name: html_s.str.extract(rx, expand=False).fillna("")
-        for name, rx in VIEWER_VAR_RES.items()
-    }
+    # F2: viewer vars -> pdf_document_url. One ordered-chain extract over
+    # the batch (VIEWER_VARS_CHAIN_RE) with exact per-var fallback for the
+    # rows the chain missed; '' when any var missed
+    fast = html_s.str.extract(VIEWER_VARS_CHAIN_RE)
+    fast.columns = list(VIEWER_VAR_RES)
+    chain_miss = fast["iLienID"].isna()
+    if bool(chain_miss.any()):
+        sub = html_s[chain_miss]
+        for name, rx in VIEWER_VAR_RES.items():
+            fast.loc[chain_miss, name] = sub.str.extract(rx, expand=False)
+    vv = {name: fast[name].fillna("") for name in VIEWER_VAR_RES}
     all_present = None
     for s in vv.values():
         ok = s != ""
@@ -493,10 +510,11 @@ def parse_detail_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     out["pdf_document_url"] = synth.where(all_present, "")
     # blank out fields of cancelled docs (parse skipped in reference)
     cancelled = out["cancelled"]
-    for c in ("county", "instrument", "date_filed", "book", "page_no",
-              "description", "amount", "debtors", "claimants", "pdf_document_url"):
-        out.loc[cancelled, c] = ""
-    out.loc[cancelled, "amount_value"] = None
+    if bool(cancelled.any()):
+        for c in ("county", "instrument", "date_filed", "book", "page_no",
+                  "description", "amount", "debtors", "claimants", "pdf_document_url"):
+            out.loc[cancelled, c] = ""
+        out.loc[cancelled, "amount_value"] = None
     addr = ocr_s.str.extract(ADDRESS_LINE_RE, expand=False).fillna("")
     csz = ocr_s.str.extract(CITY_STATE_ZIP_RE)
     has_csz = csz[0].notna()

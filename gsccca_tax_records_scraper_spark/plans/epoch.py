@@ -102,12 +102,15 @@ def _fetch_parse(it):
     for pdf in it:
         if pdf.empty:
             continue
-        html = pdf["url"].map(sitegen.detail_html)
-        ocr = pdf["url"].map(sitegen.detail_ocr_text)
+        # parse doc_no from the url ONCE per batch; html/ocr/media_ref all
+        # key off it (the per-url variants re-split the url per call)
+        doc_no = pdf["url"].str.rsplit("id=", n=1).str[-1].astype("int64")
+        pages = [sitegen.detail_page_no(n) for n in doc_no.to_numpy()]
+        html = pd.Series([p[0] for p in pages], index=pdf.index)
+        ocr = pd.Series([p[1] for p in pages], index=pdf.index)
         parsed = extract.parse_detail_frame(
             pd.DataFrame({"url": pdf["url"], "html": html, "ocr_text": ocr})
         )
-        doc_no = pdf["url"].str.rsplit("id=", n=1).str[-1].astype("int64")
         out = pd.DataFrame(
             {
                 "url_id": pdf["url_id"],

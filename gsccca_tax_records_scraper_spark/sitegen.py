@@ -47,9 +47,15 @@ _CITIES = ["ATLANTA", "MACON", "SAVANNAH", "AUGUSTA", "COLUMBUS", "ALBANY"]
 
 
 def h64(*parts: object) -> int:
-    """Deterministic 60-bit hash of the parts (shared PRN source)."""
-    key = "|".join(str(p) for p in parts).encode()
-    return int(hashlib.sha1(key).hexdigest()[:15], 16)
+    """Deterministic 60-bit hash of the parts (shared PRN source).
+    int.from_bytes of the first 8 digest bytes >> 4 == the first 15 hex
+    digits (value-identical to the former hexdigest[:15] parse, without
+    the hex round-trip — this is the fetch replay's innermost hot call)."""
+    key = "|".join(map(str, parts)).encode()
+    return int.from_bytes(_sha1(key).digest()[:8], "big") >> 4
+
+
+_sha1 = hashlib.sha1  # bind once: h64 is the replay's innermost hot call
 
 
 def n_serp_pages(seed_id: int) -> int:
@@ -174,7 +180,14 @@ def detail_html(url: str) -> str:
     the reference parses: 6-col doc table (lien_index_scraper.py:614-627),
     Description with $ amount (:629-634), party tables (:636-646), inline
     viewer JS vars (:649-659)."""
-    doc_no = int(url.rsplit("id=", 1)[1])
+    return detail_html_no(int(url.rsplit("id=", 1)[1]))
+
+
+def detail_html_no(doc_no: int, _amount: str | None = None) -> str:
+    """detail_html keyed by the already-parsed doc number — the fetch
+    replay parses doc_no from the url once per batch and reuses it for
+    html/ocr/media_ref instead of three per-row rsplits. `_amount` lets
+    detail_page_no share the one _money(doc_no) both page bodies embed."""
     county = doc_no % COUNTY_MOD + 1
     book = doc_no // 1000 + 1
     page = doc_no % 997 + 1
@@ -185,7 +198,7 @@ def detail_html(url: str) -> str:
     year = 2015 + (r >> 14) % 10
     debtor = _SURNAMES[r % len(_SURNAMES)] + ", " + _SURNAMES[(r >> 5) % len(_SURNAMES)][:1]
     claimant = _SURNAMES[(r >> 10) % len(_SURNAMES)] + " COUNTY TAX COMMISSIONER"
-    amount = _money(doc_no)
+    amount = _money(doc_no) if _amount is None else _amount
     cancelled = "<div>CANCELLATION</div>" if is_cancelled(doc_no) else ""
     rel_rows = "".join(
         f'<a href="javascript:fnSubmitThisForm(\'{_raw_href(rn, rn % 2 == 0)}\');">related {rn}</a>'
@@ -244,9 +257,20 @@ def detail_ocr_text(url: str) -> str:
     """Synthetic OCR body with the cue lines the reference's extractors key on
     (ocr/ocr_tax_extractor.py:43-56,451-462; ocr/realestate_ocr_extractor.py:23-66),
     including the §->$ OCR-noise case (ocr_tax_extractor.py:470-471)."""
-    doc_no = int(url.rsplit("id=", 1)[1])
-    r = h64("ocr", doc_no)
+    return detail_ocr_no(int(url.rsplit("id=", 1)[1]))
+
+
+def detail_page_no(doc_no: int) -> tuple[str, str]:
+    """(detail html, ocr text) in one call, sharing the _money(doc_no)
+    both bodies embed — the fetch replay's per-row kernel."""
     amount = _money(doc_no)
+    return detail_html_no(doc_no, amount), detail_ocr_no(doc_no, amount)
+
+
+def detail_ocr_no(doc_no: int, _amount: str | None = None) -> str:
+    """detail_ocr_text keyed by the already-parsed doc number."""
+    r = h64("ocr", doc_no)
+    amount = _money(doc_no) if _amount is None else _amount
     lesser = _money(doc_no + 1)
     street_no = 100 + r % 9899
     street = _STREETS[r % len(_STREETS)]
