@@ -128,6 +128,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -238,13 +239,6 @@ _OUT_SCHEMA = (
 _OUT_META_SCHEMA = (
     _FLAT_SCHEMA + ", seg int, lo int, n_items long, epoch int, file string"
 )
-_PAYLOAD_DTYPES = {
-    "url_id": "int64", "url": "object", "host_bucket": "int32",
-    "priority": "float64", "co_seed_id": "int64", "co_page": "int32",
-    "co_link_order": "int32", "co_depth": "int32", "lin_parent": "int64",
-}
-
-
 def probe_sorted_keys(
     seen_ids: np.ndarray, seen_hs: np.ndarray, q_ids: np.ndarray, q_hs: np.ndarray
 ) -> np.ndarray:
@@ -462,22 +456,6 @@ def emit_run(
     return run_ids, run_hs, seg_id, lo, bloom_b, cuckoo_b
 
 
-def _empty_out(store: bool = False) -> pd.DataFrame:
-    out = pd.DataFrame(
-        {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
-    )
-    out["seg"] = pd.Series([], dtype="int32")
-    out["lo"] = pd.Series([], dtype="int32")
-    if not store:
-        for c in ("bloom", "cuckoo", "ids", "hs"):
-            out[c] = pd.Series([], dtype="object")
-    out["n_items"] = pd.Series([], dtype="int64")
-    out["epoch"] = pd.Series([], dtype="int32")
-    if store:
-        out["file"] = pd.Series([], dtype="object")
-    return out
-
-
 def _empty_state(store: bool = False) -> pd.DataFrame:
     cols = {
         "host_bucket": pd.Series([], dtype="int32"),
@@ -492,6 +470,32 @@ def _empty_state(store: bool = False) -> pd.DataFrame:
     if store:
         cols["file"] = pd.Series([], dtype="object")
     return pd.DataFrame(cols)
+
+
+# arrow output field layout — must mirror _OUT_SCHEMA / _OUT_META_SCHEMA
+_PA_PAYLOAD_FIELDS = [
+    ("url_id", pa.int64()), ("url", pa.string()), ("host_bucket", pa.int32()),
+    ("priority", pa.float64()), ("co_seed_id", pa.int64()), ("co_page", pa.int32()),
+    ("co_link_order", pa.int32()), ("co_depth", pa.int32()), ("lin_parent", pa.int64()),
+]
+# typed-zero payload values for the appended state row (never read; kept
+# value-identical to the previous pandas implementation)
+_PA_STATE_ZEROS = [0, "", 0, 0.0, 0, 0, 0, 0, 0]
+_PA_OUT_META = pa.schema(
+    _PA_PAYLOAD_FIELDS
+    + [("seg", pa.int32()), ("lo", pa.int32()), ("n_items", pa.int64()),
+       ("epoch", pa.int32()), ("file", pa.string())]
+)
+_PA_OUT_INLINE = pa.schema(
+    _PA_PAYLOAD_FIELDS
+    + [("seg", pa.int32()), ("lo", pa.int32()), ("bloom", pa.binary()),
+       ("cuckoo", pa.binary()), ("ids", pa.binary()), ("hs", pa.binary()),
+       ("n_items", pa.int64()), ("epoch", pa.int32())]
+)
+
+
+def _pa_col(arr) -> pa.Array:
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
 def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
@@ -511,26 +515,37 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
     `right` carries METADATA rows; payloads are read through the worker's
     segment cache and the new run is WRITTEN to the store from here — the
     emitted state row is metadata only (file non-NULL marks it), so no
-    payload bytes cross Arrow in either direction."""
+    payload bytes cross Arrow in either direction.
 
-    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
+    ARROW-NATIVE (applyInArrow): the decisions need only the int64 key/
+    order columns (zero-copy numpy views of the Arrow buffers); the url
+    strings of admitted rows move JVM -> worker -> JVM as Arrow buffer
+    slices (one C-level take) and never materialize as Python/pandas
+    objects. The former pandas path built ~24M Python str objects per
+    bench epoch on the way in and again on the way out — measured ~12% of
+    the whole dedup epoch at sf-bench scale."""
+    out_schema = _PA_OUT_META if store_root is not None else _PA_OUT_INLINE
+    payload_names = [f[0] for f in _PA_PAYLOAD_FIELDS]
+
+    def fn(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0:
             # no candidates touched this bucket: nothing admitted, nothing
             # changed — emit nothing (prior segments are carried JVM-side)
-            return _empty_out(store=store_root is not None)
-        segs = [] if right.empty else _live_segments(right, store_root)
-        bucket = int(left["host_bucket"].iloc[0])
+            return out_schema.empty_table()
+        left = left.combine_chunks()
+        segs = [] if right.num_rows == 0 else _live_segments(right.to_pandas(), store_root)
+        bucket = left["host_bucket"][0].as_py()
 
-        ids = left["url_id"].to_numpy(dtype="int64")
+        ids = left["url_id"].to_numpy()
         # (a) keep-first per url_id in total crawl order: lexsort keys
         # are listed minor-first, url_id last = primary
         order = np.lexsort(
             (
-                left["lin_parent"].to_numpy(dtype="int64"),
-                left["co_link_order"].to_numpy(dtype="int64"),
-                left["co_page"].to_numpy(dtype="int64"),
-                left["co_seed_id"].to_numpy(dtype="int64"),
-                left["co_depth"].to_numpy(dtype="int64"),
+                left["lin_parent"].to_numpy(),
+                left["co_link_order"].to_numpy(),
+                left["co_page"].to_numpy(),
+                left["co_seed_id"].to_numpy(),
+                left["co_depth"].to_numpy(),
                 ids,
             )
         )
@@ -539,28 +554,22 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
         first_mask[0] = True
         first_mask[1:] = ids_sorted[1:] != ids_sorted[:-1]
         kept_idx = order[first_mask]
-        kept = left.iloc[kept_idx]
         kept_ids = ids[kept_idx]
-        kept_hs = kept["url_h"].to_numpy(dtype="int64")
+        kept_hs = left["url_h"].to_numpy()[kept_idx]
         # (b)/(c) per-segment bloom probe + exact resolve: seen in any
         # segment -> dup; found in none -> new
         new_sel = ~probe_segments(segs, kept_ids, kept_hs)
-        new_rows = kept[new_sel]
+        new_idx = kept_idx[new_sel]
         new_ids = kept_ids[new_sel]
         new_hs = kept_hs[new_sel]
+        n = len(new_ids)
 
         # touched-but-unchanged bucket: every candidate was a dup, so the
         # state is byte-identical to last epoch's — emit NO state row; the
         # caller reuses the prior rows JVM-side, and the bucket's state
         # bytes never cross Arrow outbound
-        if not len(new_ids):
-            empty = pd.DataFrame(
-                {c: pd.Series([], dtype=_PAYLOAD_DTYPES[c]) for c in _PAYLOAD_COLS}
-            )
-            if store_root is not None:
-                return empty.assign(seg=0, lo=0, n_items=0, epoch=0, file=None)
-            return empty.assign(seg=0, lo=0, bloom=None, cuckoo=None, ids=None,
-                                hs=None, n_items=0, epoch=0)
+        if not n:
+            return out_schema.empty_table()
 
         # (d) canonical ordering + size-tiered absorb + filter build — the
         # shared run-emission rule (state bytes must not depend on
@@ -569,52 +578,38 @@ def _fused_fn(epoch: int, capacity: int, store_root: str | None = None):
             segs, new_ids, new_hs
         )
 
-        out = new_rows[_PAYLOAD_COLS].copy()
-        out["seg"] = np.int32(0)
-        out["lo"] = np.int32(0)
-        if store_root is None:
-            for c in ("bloom", "cuckoo", "ids", "hs"):
-                out[c] = None
-        out["n_items"] = 0
-        out["epoch"] = 0
-        if store_root is not None:
-            out["file"] = None
-        # the state row's payload cells are TYPED ZEROS, not None: a None in
-        # an int64/str column would degrade the whole concat to object dtype
-        # and turn the pandas->Arrow conversion of the admitted rows into a
-        # per-element crawl (measured ~10x of this function's real work).
-        # State rows are identified by bloom IS NOT NULL; their payload
-        # values are never read.
-        state_row = pd.DataFrame(
-            {
-                c: pd.Series(["" if _PAYLOAD_DTYPES[c] == "object" else 0],
-                             dtype=_PAYLOAD_DTYPES[c])
-                for c in _PAYLOAD_COLS
-            }
-        )
-        state_row["host_bucket"] = np.int32(bucket)
-        state_row["seg"] = np.int32(seg_id)
-        state_row["lo"] = np.int32(lo)
-        if store_root is None:
-            state_row["bloom"] = [bloom_b]
-            state_row["cuckoo"] = [cuckoo_b]
-            state_row["ids"] = [run_ids.tobytes()]
-            state_row["hs"] = [run_hs.tobytes()]
-        else:
-            # write-once, content-addressed: retries/replays converge on the
-            # same name; only this metadata row crosses Arrow outbound
-            state_row["file"] = [
-                segstore.write_segment(
-                    store_root, bucket, seg_id, bloom_b, cuckoo_b, run_ids, run_hs
-                )
-            ]
-        state_row["n_items"] = np.int64(len(run_ids))
+        # admitted payload rows (kept-first order) + ONE appended state row
+        take = pa.array(new_idx)
+        zeros = list(_PA_STATE_ZEROS)
+        zeros[2] = bucket
+        arrays = [
+            pa.concat_arrays([_pa_col(left[c].take(take)), pa.array([z], type=t)])
+            for (c, t), z in zip(_PA_PAYLOAD_FIELDS, zeros)
+        ]
+        seg_a = np.zeros(n + 1, dtype=np.int32); seg_a[-1] = seg_id
+        lo_a = np.zeros(n + 1, dtype=np.int32); lo_a[-1] = lo
+        ni_a = np.zeros(n + 1, dtype=np.int64); ni_a[-1] = len(run_ids)
         # only CHANGED buckets reach this point (unchanged ones returned
         # early with no state row), so the stamp is always the current
         # epoch — the engine's delta write (filter epoch == current) writes
         # exactly these rows and the read side keeps the latest per bucket
-        state_row["epoch"] = np.int32(epoch)
-        return pd.concat([out, state_row], ignore_index=True)
+        ep_a = np.zeros(n + 1, dtype=np.int32); ep_a[-1] = epoch
+        arrays += [pa.array(seg_a), pa.array(lo_a)]
+        if store_root is None:
+            for payload in (bloom_b, cuckoo_b, run_ids.tobytes(), run_hs.tobytes()):
+                arrays.append(pa.array([None] * n + [payload], type=pa.binary()))
+            arrays += [pa.array(ni_a), pa.array(ep_a)]
+        else:
+            # write-once, content-addressed: retries/replays converge on the
+            # same name; only this metadata row crosses Arrow outbound
+            fname = segstore.write_segment(
+                store_root, bucket, seg_id, bloom_b, cuckoo_b, run_ids, run_hs
+            )
+            arrays += [
+                pa.array(ni_a), pa.array(ep_a),
+                pa.array([None] * n + [fname], type=pa.string()),
+            ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return fn
 
@@ -925,11 +920,13 @@ def dedup_candidates(
     else:
         state_src = seen_state
 
-    # ONE cogroup: keep-first + probe + exact resolve + merge (+ rebuild)
+    # ONE cogroup: keep-first + probe + exact resolve + merge (+ rebuild);
+    # arrow-native (applyInArrow) so admitted urls cross as buffer slices,
+    # not Python objects — see _fused_fn
     out = (
         cand_side.groupBy("host_bucket")
         .cogroup(state_src.groupBy("host_bucket"))
-        .applyInPandas(
+        .applyInArrow(
             _fused_fn(epoch, capacity, store_root),
             _OUT_META_SCHEMA if store_root is not None else _OUT_SCHEMA,
         )

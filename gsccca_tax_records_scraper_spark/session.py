@@ -69,6 +69,12 @@ def get_spark(
         # length) — an unbounded collect_list under this setting would hold
         # every group's list in the hash map with no spill path.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 22))
+        # the engine's cached frames are write-once-read-once epoch
+        # intermediates (dedup output consumed and unpersisted within the
+        # epoch), so columnar-cache compression spends CPU on cache entries
+        # that live seconds — measured ~0.7s/epoch on the 24M-candidate
+        # bench dedup. Long-lived caches would want it back on.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # ParallelGC + a moderate heap: G1 on a huge heap stalls badly with
         # 32 executor threads in one JVM (measured 73s -> 5s on an 8M-row
         # window+join at local[32])
