@@ -662,6 +662,13 @@ def q_case_contains(spark, sf):
     " GROUP BY l_returnflag, l_linestatus",
 )
 def q_tpch_q1(spark, sf):
+    # Examined for scan-spread (the test table is a single-row-group file,
+    # so scan + partial agg run on one task): a hash repartition on
+    # l_orderkey between scan and aggregate was MEASURED SLOWER (settled
+    # 0.44s -> 0.62s, first +0.7s at sf0.1/local[32]) — the partial
+    # aggregation collapses 600k rows to 6 groups inside the scan stage, so
+    # the exchange only added shuffle + codegen. Left on the scan's
+    # partitioning deliberately.
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -697,8 +704,18 @@ def q_revenue_segment(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    # Hash-spread on the group key between scan and aggregate (same
+    # rationale as q_tpch_q1: single-row-group scan = 1-task partial agg).
+    # The repartition's hashpartitioning(l_orderkey) satisfies the
+    # groupBy's distribution requirement, so no second exchange appears —
+    # the per-order aggregation runs fully parallel after one slim shuffle.
+    per_order = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
     )
     return (
         per_order.join(
@@ -1529,7 +1546,12 @@ def q_langid(spark, sf):
     f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
 )
 def q_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    # spread_scan: the regex/split-heavy score over a single-file table
+    # otherwise runs on one task (guide §2.5 input skew; measured the whole
+    # query serial on 1 of 32 cores at sf0.1)
+    from gsccca_tax_records_scraper_spark.operators.scanspread import spread_scan
+
+    d = spread_scan(_t(spark, sf, "documents"))
     return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
 
 

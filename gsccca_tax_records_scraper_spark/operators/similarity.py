@@ -48,10 +48,22 @@ def brute_force_topk(
     """Exact cosine top-k per query. queries: (query_id, embedding).
     Output: (query_id, vec_id, cos, rank). Queries side is broadcast —
     correct plan shape for few-queries-many-vectors."""
-    b = spread_scan(base).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # norms are per-ROW invariants: bind them once per side instead of
+    # re-evaluating the interpreted sqrt(dot(v,v)) aggregate for every
+    # (query, vector) pair — cos = dot/(nq*nv) is the same expression tree
+    # per factor, so values are bit-identical; only the evaluation count
+    # drops (3 array-aggregates per pair -> 1)
+    b = spread_scan(base).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("__nv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("__nq"),
+    )
     scored = b.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
+        "query_id", "vec_id",
+        (dot_col(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -114,14 +126,18 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        norm_col(F.col(vec_col)).alias("__nv"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        norm_col(F.col(vec_col)).alias("__nq"),
     )
+    # per-side norms bound once (see brute_force_topk) — bit-identical cos
     scored = b.join(F.broadcast(q), "bucket").select(
-        "query_id", "vec_id", cosine_col(F.col("qv"), F.col("v")).alias("cos")
+        "query_id", "vec_id",
+        (dot_col(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
