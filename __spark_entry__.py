@@ -293,17 +293,25 @@ _REGISTRY["viewer_url_lookup"] = (q_viewer_url_lookup, _viewer_url_lookup_sql())
     " ORDER BY o_totalprice DESC, o_orderkey) = 1",
 )
 def q_argmax(spark, sf):
+    # max_by with a composite ordering struct instead of a row_number
+    # window (guide §2.3 "aggregate before you shuffle"): the partial
+    # aggregation collapses rows map-side BEFORE the exchange and the
+    # post-shuffle sort disappears. Maximizing (o_totalprice, -o_orderkey)
+    # == highest price, ties to the LOWEST orderkey — exactly the window's
+    # (price DESC, orderkey ASC) first row; both key columns are non-null
+    # by construction. Values asserted equal at sf0.1; 0.31s -> 0.26s
+    # settled at local[32].
     o = _t(spark, sf, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("best_order"),
-            F.col("o_totalprice").alias("best_price"),
-        )
+    best = o.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct(
+                F.col("o_orderkey").alias("best_order"),
+                F.col("o_totalprice").alias("best_price"),
+            ),
+            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey"))),
+        ).alias("b")
     )
+    return best.select("o_custkey", "b.best_order", "b.best_price")
 
 
 # A2 scored-top-k evidence rides `money_scored_topk` (the reference-exact
@@ -322,12 +330,12 @@ def q_distinct(spark, sf):
     " QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
 )
 def q_latest_by(spark, sf):
+    # max_by instead of a row_number window (same move as q_argmax):
+    # maximizing (ts, event_id) is the window's (ts DESC, event_id DESC)
+    # first row; partial aggregation collapses map-side, no window sort
     e = _t(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_id").alias("last_event"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event")
     )
 
 
