@@ -80,3 +80,35 @@ def test_grant_order_is_global_min_prefix(spark, robots):
     all_sorted = sorted(pending.collect(), key=key)
     got = sorted(granted.collect(), key=key)
     assert [key(r) for r in got] == [key(r) for r in all_sorted[: len(got)]]
+
+
+def test_dedup_keepfirst_fast_and_slow_paths_agree(spark):
+    """Optimization-round guard for the keep-first fast path: buckets whose
+    url_ids are unique take a single argsort, dup-carrying buckets take the
+    full 6-key lexsort (operators/dedup._fused_fn). Build a batch where
+    buckets < 16 carry duplicates (slow path) and the rest are unique (fast
+    path) and assert the admitted set matches the JVM window reference
+    keep_first_in_batch on BOTH kinds of bucket."""
+    base = bench._synth_candidates(spark, 2000)
+    later = base.filter(F.col("host_bucket") < 16).withColumn(
+        "crawl_order",
+        F.struct(
+            F.col("crawl_order.seed_id").alias("seed_id"),
+            F.col("crawl_order.page").alias("page"),
+            F.col("crawl_order.link_order").alias("link_order"),
+            (F.col("crawl_order.depth") + 7).alias("depth"),
+        ),
+    )
+    cands = base.unionByName(later)
+    new_rows, _, handles = dedup.dedup_candidates(cands, None, 0)
+    got = {(r.url_id, r.crawl_order.depth) for r in new_rows.collect()}
+    want = {
+        (r.url_id, r.crawl_order.depth)
+        for r in dedup.keep_first_in_batch(cands).collect()
+    }
+    for h in handles:
+        h.unpersist()
+    assert len(got) == 2000
+    assert got == want
+    # every duplicated id must have kept the ORIGINAL (depth=1) row
+    assert all(d == 1 for (_u, d) in got)
